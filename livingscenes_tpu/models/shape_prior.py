@@ -1,0 +1,209 @@
+"""Shape prior: SIM(3)-equivariant encoder + invariant SDF field.
+
+Functional re-design of the reference inference wrapper
+(model_utils.py:83-263). The universal currency is the *codes* pytree
+
+    {"z_so3": (B, C, 3), "z_inv": (B, C), "s": (B,), "t": (B, 1, 3)}
+
+mirroring model_utils.py:190-195. Every downstream task (matching,
+registration, reconstruction, joint optimization) consumes codes; all
+per-instance Python loops of the reference become `vmap`/batched calls.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..nn.deepsdf import DeepSDFDecoder, DecoderCat
+from ..nn.vec_dgcnn_attn import VecDGCNNAttn
+from ..ops.fps import farthest_point_sampling
+
+Array = jax.Array
+Codes = Dict[str, Array]
+
+
+@dataclasses.dataclass(frozen=True)
+class ShapePriorConfig:
+    """Production hyperparameters (configs/3rscan/dgcnn_attn_inner.yaml)."""
+
+    c_dim: int = 256
+    num_layers: int = 7
+    feat_dim: tuple = (32, 32, 64, 64, 128, 256, 512)
+    down_sample_layers: tuple = (2, 4, 5)
+    down_sample_factor: tuple = (2, 4, 4)
+    atten_start_layer: int = 2
+    atten_multi_head_c: int = 16
+    num_knn: int = 16
+    scale_factor: float = 64000.0
+    center_pred: bool = True
+    center_pred_scale: bool = True
+    decoder_type: str = "inner_deepsdf"
+    decoder_dims: tuple = (768,) * 8
+    decoder_dropout_prob: float = 0.2
+    decoder_latent_in: tuple = (4,)
+    sdf2occ_factor: float = -1.0
+    n_pcl: int = 1024  # encoder input size (dataset.n_pcl)
+
+    def build_encoder(self) -> VecDGCNNAttn:
+        return VecDGCNNAttn(
+            c_dim=self.c_dim,
+            num_layers=self.num_layers,
+            feat_dim=self.feat_dim,
+            down_sample_layers=self.down_sample_layers,
+            down_sample_factor=self.down_sample_factor,
+            atten_start_layer=self.atten_start_layer,
+            atten_multi_head_c=self.atten_multi_head_c,
+            num_knn=self.num_knn,
+            scale_factor=self.scale_factor,
+            center_pred=self.center_pred,
+            center_pred_scale=self.center_pred_scale,
+        )
+
+    def build_decoder(self):
+        if self.decoder_type in ("inner_deepsdf", "deepsdf"):
+            return DeepSDFDecoder(
+                latent_size=self.c_dim,
+                dims=self.decoder_dims,
+                dropout_prob=self.decoder_dropout_prob,
+                latent_in=self.decoder_latent_in,
+                pe_dim=self.c_dim + 1,
+            )
+        if self.decoder_type in ("inner", "inv_mlp"):
+            return DecoderCat(input_dim=2 * self.c_dim + 1)
+        raise ValueError(f"unknown decoder_type {self.decoder_type}")
+
+
+class ShapePrior:
+    """Stateless model bundle: config + (params applied functionally)."""
+
+    def __init__(self, config: ShapePriorConfig | None = None):
+        self.config = config or ShapePriorConfig()
+        self.encoder = self.config.build_encoder()
+        self.decoder = self.config.build_decoder()
+
+    # -- initialization ----------------------------------------------------
+    def init_params(self, rng: jax.Array, n_points: Optional[int] = None):
+        n = n_points or self.config.n_pcl
+        r1, r2 = jax.random.split(rng)
+        pc = jax.random.normal(r1, (1, n, 3))
+        enc = self.encoder.init(r1, pc)
+        dec = self.decoder.init(
+            r2, jnp.zeros((1, 8, 2 * self.config.c_dim + 1))
+        )
+        return {"encoder": enc["params"], "decoder": dec["params"]}
+
+    # -- encoding ----------------------------------------------------------
+    def normalize_input(self, pc: Array):
+        """SIM(3) pre-normalization (model_utils.py:165-177).
+
+        pc: (B, N, 3). Returns (pc_normalized, centroid (B,3), scale0 (B,)).
+        scale0 = mean of the top-5 pairwise distances.
+        """
+        centroid = jnp.mean(pc, axis=1)  # (B, 3)
+        centered = pc - centroid[:, None, :]
+        d2 = jnp.sum(
+            (centered[:, :, None, :] - centered[:, None, :, :]) ** 2, axis=-1
+        )
+        d = jnp.sqrt(jnp.maximum(d2, 0.0))
+        B = pc.shape[0]
+        top5, _ = jax.lax.top_k(d.reshape(B, -1), 5)
+        scale0 = jnp.mean(top5, axis=-1)
+        return centered / scale0[:, None, None], centroid, scale0
+
+    def encode(self, params, pc: Array) -> Codes:
+        """Encode point clouds (B, N, 3) into codes (model_utils.py:165-197)."""
+        normalized, centroid, scale0 = self.normalize_input(pc)
+        out = self.encoder.apply({"params": params["encoder"]}, normalized)
+        if len(out) == 4:
+            center_pred, pred_scale, z_so3, z_inv = out
+            centroid = center_pred[:, 0, :] + centroid
+        else:
+            pred_scale, z_so3, z_inv = out
+        return {
+            "z_so3": z_so3,
+            "z_inv": z_inv,
+            "s": scale0 * pred_scale,
+            "t": centroid[:, None, :],
+        }
+
+    def encode_fps(
+        self,
+        params,
+        pc: Array,
+        mask: Optional[Array] = None,
+    ) -> Codes:
+        """FPS-downsample each (padded) instance cloud to n_pcl then encode.
+
+        Batched replacement for the reference's per-instance Python loop
+        (model_utils.py:199-215): pc (B, N, 3) with validity mask (B, N).
+        """
+        k = self.config.n_pcl
+        sampled, _ = farthest_point_sampling(pc, k, mask=mask)
+        return self.encode(params, sampled)
+
+    # -- field decode ------------------------------------------------------
+    def invariant_query(self, query: Array, codes: Codes) -> Array:
+        """Build the invariant decoder input (model_utils.py:236-240).
+
+        query: (B, M, 3) world-space points. Returns (B, M, 2C+1):
+        [z_inv | <q, z_so3> | ||q||] with q = (query - t) / s.
+        """
+        q = (query - codes["t"]) / codes["s"][:, None, None]
+        inner = jnp.einsum("bmj,bcj->bmc", q, codes["z_so3"])
+        length = jnp.linalg.norm(q, axis=-1, keepdims=True)
+        inv_query = jnp.concatenate([inner, length], axis=-1)
+        B, M, _ = query.shape
+        z = jnp.broadcast_to(
+            codes["z_inv"][:, None, :], (B, M, codes["z_inv"].shape[-1])
+        )
+        return jnp.concatenate([z, inv_query], axis=-1)
+
+    def decode_sdf(
+        self,
+        params,
+        query: Array,
+        codes: Codes,
+        train: bool = False,
+        rngs: Optional[dict] = None,
+    ) -> Array:
+        """SDF at world-space query points (B, M, 3) -> (B, M)."""
+        x = self.invariant_query(query, codes)
+        kwargs = {"rngs": rngs} if rngs else {}
+        return self.decoder.apply(
+            {"params": params["decoder"]}, x, train=train, **kwargs
+        )
+
+    def occupancy_logits(self, params, query: Array, codes: Codes) -> Array:
+        """Bernoulli occupancy logits = sdf2occ_factor * sdf
+        (model_utils.py:263)."""
+        return self.config.sdf2occ_factor * self.decode_sdf(params, query, codes)
+
+
+def slice_codes(codes: Codes, index) -> Codes:
+    """Select a sub-batch of codes (model_utils.py:309-318)."""
+    if isinstance(index, int):
+        index = jnp.asarray([index])
+    return jax.tree.map(lambda x: x[index], codes)
+
+
+def concat_codes(code_list) -> Codes:
+    return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *code_list)
+
+
+def transform_codes(codes: Codes, tsfm: Array) -> Codes:
+    """Equivariant code transport (lib_more/more_solver.py:230-244).
+
+    tsfm: (B, 3/4, 4) applied to the codes' frame: z_so3 -> z_so3 R^T,
+    t -> R t + p. z_inv and s are invariant.
+    """
+    R = tsfm[..., :3, :3]
+    p = tsfm[..., :3, 3]
+    return {
+        "z_so3": jnp.matmul(codes["z_so3"], jnp.swapaxes(R, -1, -2)),
+        "z_inv": codes["z_inv"],
+        "s": codes["s"],
+        "t": jnp.matmul(codes["t"], jnp.swapaxes(R, -1, -2)) + p[..., None, :],
+    }

@@ -1,0 +1,98 @@
+"""Fixed-iteration point-to-point ICP.
+
+Replaces pytorch3d.ops.iterative_closest_point used as the final registration
+refinement (lib_more/more_solver.py:182-188). A fixed number of
+(nearest-neighbor -> Kabsch) rounds run inside `lax.scan`; convergence is
+handled by freezing the update once relative RMSE change drops below the
+threshold (masked update instead of dynamic early exit, so shapes stay
+static under jit/vmap).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import se3
+from .knn import pairwise_sqdist
+
+Array = jax.Array
+
+
+class ICPResult(NamedTuple):
+    R: Array  # (B, 3, 3) — applied as x @ R^T + t  (matrix convention)
+    t: Array  # (B, 3)
+    rmse: Array  # (B,)
+    converged: Array  # (B,) bool
+
+
+def iterative_closest_point(
+    src: Array,
+    tgt: Array,
+    init_R: Array | None = None,
+    init_t: Array | None = None,
+    max_iterations: int = 100,
+    relative_rmse_thr: float = 1e-6,
+    src_mask: Array | None = None,
+    tgt_mask: Array | None = None,
+) -> ICPResult:
+    """Rigid ICP aligning src -> tgt.
+
+    Args:
+      src: (B, N, 3), tgt: (B, M, 3).
+      init_R/init_t: optional initial rotation (B,3,3) / translation (B,3);
+        the transform convention is y = x @ R_colmaj + t where `R_colmaj`
+        follows pytorch3d's SimilarityTransform (i.e. our returned R is the
+        standard row-vector form: y = R @ x + t with R = R_colmaj^T).
+      src_mask/tgt_mask: optional validity masks for padded clouds.
+
+    Returns ICPResult with the *standard* convention y = R x + t.
+    """
+    B, N, _ = src.shape
+    dtype = src.dtype
+    if init_R is None:
+        R0 = jnp.broadcast_to(jnp.eye(3, dtype=dtype), (B, 3, 3))
+    else:
+        R0 = init_R
+    if init_t is None:
+        t0 = jnp.zeros((B, 3), dtype=dtype)
+    else:
+        t0 = init_t
+    if src_mask is None:
+        src_mask = jnp.ones((B, N), dtype=bool)
+    w = src_mask.astype(dtype)
+
+    def nn_targets(x):
+        d = pairwise_sqdist(x, tgt)
+        if tgt_mask is not None:
+            d = jnp.where(tgt_mask[:, None, :], d, 1e10)
+        idx = jnp.argmin(d, axis=-1)
+        nn = jnp.take_along_axis(tgt, idx[..., None], axis=1)
+        dmin = jnp.min(d, axis=-1)
+        return nn, dmin
+
+    def step(carry, _):
+        R, t, prev_rmse, frozen = carry
+        x = jnp.matmul(src, jnp.swapaxes(R, -1, -2)) + t[:, None, :]
+        nn, dmin = nn_targets(x)
+        rmse = jnp.sqrt(
+            jnp.sum(dmin * w, axis=-1) / jnp.maximum(jnp.sum(w, axis=-1), 1.0)
+        )
+        # Re-fit against the original source so the accumulated transform
+        # stays a single rigid motion.
+        R_new, t_new, _ = se3.kabsch(src, nn, weights=w)
+        t_new = t_new[..., 0]
+        rel = jnp.abs(prev_rmse - rmse) / jnp.maximum(prev_rmse, 1e-12)
+        frozen_new = frozen | (rel < relative_rmse_thr)
+        keep = frozen[:, None, None]
+        R_out = jnp.where(keep, R, R_new)
+        t_out = jnp.where(frozen[:, None], t, t_new)
+        rmse_out = jnp.where(frozen, prev_rmse, rmse)
+        return (R_out, t_out, rmse_out, frozen_new), None
+
+    init = (R0, t0, jnp.full((B,), jnp.inf, dtype), jnp.zeros((B,), bool))
+    (R, t, rmse, frozen), _ = jax.lax.scan(
+        step, init, None, length=max_iterations
+    )
+    return ICPResult(R=R, t=t, rmse=rmse, converged=frozen)

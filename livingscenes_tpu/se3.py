@@ -1,0 +1,282 @@
+"""Batched SE(3)/SIM(3) math for TPU.
+
+Pure-jnp re-design of the reference math layer:
+  - transform conventions follow lib_math/torch_se3.py:6-93 (points are
+    right-multiplied by R^T; SE(3) stored as (B, 3/4, 4) matrices),
+  - weighted Kabsch / Procrustes follows lib_more/pose_estimation.py:11-102,
+  - rotation/translation error metrics follow lib_more/pose_estimation.py:157-233.
+
+Everything here is shape-static and jit/vmap/grad-safe. The SVD-based solvers
+run in float32 by default; pass float64 inputs (with jax_enable_x64) for
+tighter tolerances.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+# ---------------------------------------------------------------------------
+# Basic SE(3) matrix algebra ((B, 3/4, 4) representation)
+# ---------------------------------------------------------------------------
+
+def identity(batch_size: int, dtype=jnp.float32) -> Array:
+    """(B, 3, 4) identity transforms."""
+    eye = jnp.eye(3, 4, dtype=dtype)
+    return jnp.broadcast_to(eye, (batch_size, 3, 4))
+
+
+def inverse(g: Array) -> Array:
+    """Inverse of (..., 3/4, 4) SE(3) transforms, returned as (..., 3, 4)."""
+    rot = g[..., :3, :3]
+    trans = g[..., :3, 3]
+    rot_t = jnp.swapaxes(rot, -1, -2)
+    t_inv = -jnp.einsum("...ij,...j->...i", rot_t, trans)
+    return jnp.concatenate([rot_t, t_inv[..., None]], axis=-1)
+
+
+def concatenate(a: Array, b: Array) -> Array:
+    """Compose two SE(3) transforms a∘b as (..., 3, 4) matrices."""
+    rot1, t1 = a[..., :3, :3], a[..., :3, 3]
+    rot2, t2 = b[..., :3, :3], b[..., :3, 3]
+    rot = rot1 @ rot2
+    t = jnp.einsum("...ij,...j->...i", rot1, t2) + t1
+    return jnp.concatenate([rot, t[..., None]], axis=-1)
+
+
+def transform(g: Array, a: Array) -> Array:
+    """Apply SE(3) transform g (..., 3/4, 4) to points a (..., N, 3)."""
+    rot = g[..., :3, :3]
+    p = g[..., :3, 3]
+    return jnp.matmul(a, jnp.swapaxes(rot, -1, -2)) + p[..., None, :]
+
+
+def rt_to_se3(R: Array, t: Array) -> Array:
+    """Merge rotation (B,3,3) and translation (B,3,1) into (B,4,4)."""
+    B = R.shape[0]
+    bottom = jnp.broadcast_to(
+        jnp.array([0.0, 0.0, 0.0, 1.0], dtype=R.dtype), (B, 1, 4)
+    )
+    top = jnp.concatenate([R, t.reshape(B, 3, 1)], axis=-1)
+    return jnp.concatenate([top, bottom], axis=1)
+
+
+# torch-style alias kept for API parity with the reference naming.
+Rt_to_SE3 = rt_to_se3
+
+
+def to_4x4(g: Array) -> Array:
+    """Promote (..., 3, 4) to (..., 4, 4)."""
+    if g.shape[-2] == 4:
+        return g
+    batch = g.shape[:-2]
+    bottom = jnp.broadcast_to(
+        jnp.array([0.0, 0.0, 0.0, 1.0], dtype=g.dtype), batch + (1, 4)
+    )
+    return jnp.concatenate([g, bottom], axis=-2)
+
+
+# ---------------------------------------------------------------------------
+# so(3)/se(3) exponential & logarithm maps (for manifold optimization)
+# ---------------------------------------------------------------------------
+
+def hat(w: Array) -> Array:
+    """so(3) hat operator: (..., 3) -> (..., 3, 3)."""
+    zeros = jnp.zeros_like(w[..., 0])
+    wx, wy, wz = w[..., 0], w[..., 1], w[..., 2]
+    return jnp.stack(
+        [
+            jnp.stack([zeros, -wz, wy], axis=-1),
+            jnp.stack([wz, zeros, -wx], axis=-1),
+            jnp.stack([-wy, wx, zeros], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
+def so3_exp(w: Array) -> Array:
+    """Rodrigues formula, numerically stable near 0: (..., 3) -> (..., 3, 3)."""
+    theta_sq = jnp.sum(w * w, axis=-1)
+    theta = jnp.sqrt(theta_sq + 1e-32)
+    W = hat(w)
+    W2 = W @ W
+    # sin(t)/t and (1-cos(t))/t^2 with Taylor guards near zero.
+    a = jnp.where(theta_sq > 1e-12, jnp.sin(theta) / theta, 1.0 - theta_sq / 6.0)
+    b = jnp.where(
+        theta_sq > 1e-12, (1.0 - jnp.cos(theta)) / theta_sq, 0.5 - theta_sq / 24.0
+    )
+    eye = jnp.eye(3, dtype=w.dtype)
+    return eye + a[..., None, None] * W + b[..., None, None] * W2
+
+
+def se3_exp(xi: Array) -> Array:
+    """se(3) exp map: xi = (..., 6) [rho | omega] -> (..., 3, 4)."""
+    rho, w = xi[..., :3], xi[..., 3:]
+    theta_sq = jnp.sum(w * w, axis=-1)
+    theta = jnp.sqrt(theta_sq + 1e-32)
+    W = hat(w)
+    W2 = W @ W
+    b = jnp.where(
+        theta_sq > 1e-12, (1.0 - jnp.cos(theta)) / theta_sq, 0.5 - theta_sq / 24.0
+    )
+    c = jnp.where(
+        theta_sq > 1e-12,
+        (theta - jnp.sin(theta)) / (theta_sq * theta),
+        1.0 / 6.0 - theta_sq / 120.0,
+    )
+    eye = jnp.eye(3, dtype=xi.dtype)
+    R = so3_exp(w)
+    V = eye + b[..., None, None] * W + c[..., None, None] * W2
+    t = jnp.einsum("...ij,...j->...i", V, rho)
+    return jnp.concatenate([R, t[..., None]], axis=-1)
+
+
+def so3_log(R: Array) -> Array:
+    """Log map of SO(3): (..., 3, 3) -> (..., 3). Stable away from pi."""
+    trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
+    cos_theta = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
+    theta = jnp.arccos(cos_theta)
+    vee = jnp.stack(
+        [
+            R[..., 2, 1] - R[..., 1, 2],
+            R[..., 0, 2] - R[..., 2, 0],
+            R[..., 1, 0] - R[..., 0, 1],
+        ],
+        axis=-1,
+    )
+    sin_theta = jnp.sin(theta)
+    scale = jnp.where(
+        jnp.abs(sin_theta) > 1e-7, theta / (2.0 * sin_theta + 1e-32), 0.5
+    )
+    return scale[..., None] * vee
+
+
+# ---------------------------------------------------------------------------
+# Procrustes / Kabsch
+# ---------------------------------------------------------------------------
+
+def solve_rotation(f1: Array, f2: Array) -> Array:
+    """Orthogonal Procrustes with reflection fix (lib_more/pose_estimation.py:11).
+
+    f1, f2: (B, N, 3) corresponding vectors; returns R (B, 3, 3) with
+    R @ f1 ~= f2 in the least-squares sense.
+    """
+    S = jnp.matmul(jnp.swapaxes(f1, -1, -2), f2)
+    U, _, Vh = jnp.linalg.svd(S)
+    V = jnp.swapaxes(Vh, -1, -2)
+    det = jnp.linalg.det(jnp.matmul(V, jnp.swapaxes(U, -1, -2)))
+    diag = jnp.stack(
+        [jnp.ones_like(det), jnp.ones_like(det), det], axis=-1
+    )
+    return jnp.matmul(V * diag[..., None, :], jnp.swapaxes(U, -1, -2))
+
+
+def transformation_residuals(x1: Array, x2: Array, R: Array, t: Array) -> Array:
+    """Pointwise Euclidean residuals of x2 ~ R x1 + t; (B, N)."""
+    x2_hat = jnp.matmul(R, jnp.swapaxes(x1, -1, -2)) + t
+    return jnp.linalg.norm(jnp.swapaxes(x2_hat, -1, -2) - x2, axis=-1)
+
+
+def kabsch(
+    x1: Array,
+    x2: Array,
+    weights: Array | None = None,
+    normalize_w: bool = True,
+    eps: float = 1e-7,
+):
+    """Weighted Kabsch (lib_more/pose_estimation.py:29-102), differentiable.
+
+    Args:
+      x1, x2: (B, N, 3) corresponding point sets.
+      weights: optional (B, N) inlier weights.
+    Returns:
+      R (B,3,3), t (B,3,1), res (B,N) pointwise residuals.
+    """
+    B, N, _ = x1.shape
+    if weights is None:
+        weights = jnp.ones((B, N), dtype=x1.dtype)
+    if normalize_w:
+        weights = weights / (jnp.sum(weights, axis=1, keepdims=True) + eps)
+    w = weights[..., None]  # (B, N, 1)
+
+    denom = jnp.sum(w, axis=1, keepdims=True) + eps
+    x1_mean = jnp.sum(w * x1, axis=1, keepdims=True) / denom
+    x2_mean = jnp.sum(w * x2, axis=1, keepdims=True) / denom
+    x1_c = x1 - x1_mean
+    x2_c = x2 - x2_mean
+
+    cov = jnp.matmul(jnp.swapaxes(x1_c, -1, -2), w * x2_c)  # (B, 3, 3)
+    U, _, Vh = jnp.linalg.svd(cov)
+    V = jnp.swapaxes(Vh, -1, -2)
+    det = jnp.linalg.det(jnp.matmul(V, jnp.swapaxes(U, -1, -2)))
+    diag = jnp.stack([jnp.ones_like(det), jnp.ones_like(det), det], axis=-1)
+    R = jnp.matmul(V * diag[..., None, :], jnp.swapaxes(U, -1, -2))
+
+    t = jnp.swapaxes(x2_mean, -1, -2) - jnp.matmul(
+        R, jnp.swapaxes(x1_mean, -1, -2)
+    )
+    res = transformation_residuals(x1, x2, R, t)
+    return R, t, res
+
+
+def solve_transform_from_latent(code1: dict, code2: dict) -> Array:
+    """Relative SE(3) from equivariant codes (lib_more/pose_estimation.py:140)."""
+    R = solve_rotation(code1["z_so3"], code2["z_so3"])
+    t = code2["t"] - jnp.einsum("bnm,bjm->bjn", R, code1["t"])
+    top = jnp.concatenate([R, jnp.swapaxes(t, -1, -2)], axis=-1)
+    return to_4x4(top)
+
+
+# ---------------------------------------------------------------------------
+# Error metrics
+# ---------------------------------------------------------------------------
+
+def rotation_error(R1: Array, R2: Array) -> Array:
+    """Geodesic rotation error in degrees; (B,) (pose_estimation.py:157)."""
+    R_ = jnp.matmul(jnp.swapaxes(R1, -1, -2), R2)
+    trace = R_[..., 0, 0] + R_[..., 1, 1] + R_[..., 2, 2]
+    cos = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
+    return jnp.degrees(jnp.arccos(cos))
+
+
+def translation_error(t1: Array, t2: Array) -> Array:
+    """Frobenius norm of translation difference; (B,)."""
+    return jnp.linalg.norm((t1 - t2).reshape(t1.shape[0], -1), axis=-1)
+
+
+def compute_transformation_error(
+    pc1: Array, pc2: Array, pred_tsfm: Array, gt_tsfm: Array
+) -> Array:
+    """Bidirectional endpoint RMSE (pose_estimation.py:214-233); scalar."""
+    e12 = transform(pred_tsfm, pc1) - transform(gt_tsfm, pc1)
+    e21 = transform(inverse(pred_tsfm), pc2) - transform(inverse(gt_tsfm), pc2)
+    err = jnp.concatenate([e12, e21], axis=1)
+    return jnp.sqrt(jnp.mean(err**2))
+
+
+def chamfer_distance_under_transforms(
+    src: Array, ref: Array, pred_tsfm: Array, gt_tsfm: Array
+) -> Array:
+    """Registration Chamfer metric (evaluate.py:111-122); (B,).
+
+    Measures |pred∘src - ref| + |ref - pred∘gt^{-1}∘ref| with squared
+    nearest-neighbor distances.
+    """
+    src_t = transform(pred_tsfm, src)
+    ref_it = transform(concatenate(pred_tsfm, inverse(gt_tsfm)), ref)
+
+    def sq_dist(a, b):
+        return jnp.sum((a[:, :, None, :] - b[:, None, :, :]) ** 2, axis=-1)
+
+    d_src = jnp.min(sq_dist(src_t, ref), axis=-1)
+    d_ref = jnp.min(sq_dist(ref, ref_it), axis=-1)
+    return jnp.mean(d_src, axis=1) + jnp.mean(d_ref, axis=1)
+
+
+def huber_norm_weights(x: Array, b: float = 0.02) -> Array:
+    """IRLS Huber weights on residual norms (pose_estimation.py:256-269)."""
+    res_norm = jnp.where(x <= b, x**2, 2.0 * b * x - b**2)
+    safe_x = jnp.where(x == 0, 1.0, x)
+    return jnp.sqrt(res_norm) / safe_x

@@ -1,0 +1,71 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from livingscenes_tpu.nn.deepsdf import DeepSDFDecoder, DecoderCat, WNDense
+
+
+def test_wndense_matches_plain_linear_rescaled(rng):
+    """Weight-norm with g = ||v||_col must reproduce v exactly."""
+    layer = WNDense(8)
+    x = jnp.asarray(rng.normal(size=(4, 5)))
+    params = layer.init(jax.random.PRNGKey(0), x)
+    v = params["params"]["v"]
+    g_norm = jnp.linalg.norm(v, axis=0)
+    params2 = {"params": {**params["params"], "g": g_norm}}
+    out = layer.apply(params2, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x @ v), atol=1e-12)
+
+
+def test_deepsdf_shapes_and_range(rng):
+    dec = DeepSDFDecoder(latent_size=32, dims=(96,) * 8, pe_dim=33)
+    x = jnp.asarray(rng.normal(size=(2, 17, 65)))
+    params = dec.init(jax.random.PRNGKey(0), x)
+    out = dec.apply(params, x)
+    assert out.shape == (2, 17)
+    # final tanh bounds the output
+    assert float(jnp.max(jnp.abs(out))) <= 1.0
+
+
+def test_deepsdf_latent_reinjection_layer_dims(rng):
+    """Layer 3 output must shrink so layer 4 input (with reinjection) is 64."""
+    dec = DeepSDFDecoder(latent_size=8, dims=(64,) * 8, pe_dim=9, latent_in=(4,))
+    x = jnp.asarray(rng.normal(size=(1, 3, 17)))
+    params = dec.init(jax.random.PRNGKey(0), x)
+    lin3_v = params["params"]["lin3"]["v"]
+    assert lin3_v.shape == (64, 64 - 17)
+    lin4_v = params["params"]["lin4"]["v"]
+    assert lin4_v.shape == (64, 64)
+
+
+def test_deepsdf_dropout_train_vs_eval(rng):
+    dec = DeepSDFDecoder(latent_size=16, dims=(48,) * 4, pe_dim=17,
+                         dropout=(0, 1, 2, 3), norm_layers=(0, 1, 2, 3),
+                         latent_in=(2,))
+    x = jnp.asarray(rng.normal(size=(1, 5, 33)))
+    params = dec.init(jax.random.PRNGKey(0), x)
+    eval1 = dec.apply(params, x, train=False)
+    eval2 = dec.apply(params, x, train=False)
+    np.testing.assert_array_equal(np.asarray(eval1), np.asarray(eval2))
+    tr1 = dec.apply(params, x, train=True, rngs={"dropout": jax.random.PRNGKey(1)})
+    tr2 = dec.apply(params, x, train=True, rngs={"dropout": jax.random.PRNGKey(2)})
+    assert not np.allclose(np.asarray(tr1), np.asarray(tr2))
+
+
+def test_decoder_cat_shapes(rng):
+    dec = DecoderCat(input_dim=65)
+    x = jnp.asarray(rng.normal(size=(2, 9, 65)))
+    params = dec.init(jax.random.PRNGKey(0), x)
+    out = dec.apply(params, x)
+    assert out.shape == (2, 9)
+
+
+def test_deepsdf_grad_flows(rng):
+    dec = DeepSDFDecoder(latent_size=16, dims=(48,) * 4, pe_dim=17,
+                         dropout=(), norm_layers=(0, 1, 2, 3), latent_in=(2,))
+    x = jnp.asarray(rng.normal(size=(1, 5, 33)))
+    params = dec.init(jax.random.PRNGKey(0), x)
+    g = jax.grad(lambda p: jnp.sum(dec.apply(p, x) ** 2))(params)
+    leaves = jax.tree.leaves(g)
+    assert all(bool(jnp.all(jnp.isfinite(l))) for l in leaves)
+    assert any(float(jnp.max(jnp.abs(l))) > 0 for l in leaves)

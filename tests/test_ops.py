@@ -1,0 +1,128 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy.spatial.transform import Rotation
+
+from livingscenes_tpu import se3
+from livingscenes_tpu.ops import (
+    farthest_point_sampling,
+    iterative_closest_point,
+    knn,
+    log_optimal_transport,
+    pairwise_sqdist,
+    sinkhorn_divergence,
+)
+
+
+def test_pairwise_sqdist_matches_numpy(rng):
+    a = rng.normal(size=(2, 17, 3))
+    b = rng.normal(size=(2, 23, 3))
+    d = pairwise_sqdist(jnp.asarray(a), jnp.asarray(b))
+    expected = ((a[:, :, None] - b[:, None]) ** 2).sum(-1)
+    np.testing.assert_allclose(d, expected, atol=1e-10)
+
+
+def test_knn_matches_bruteforce(rng):
+    q = rng.normal(size=(2, 31, 3))
+    p = rng.normal(size=(2, 57, 3))
+    d, idx = knn(jnp.asarray(q), jnp.asarray(p), k=5)
+    full = ((q[:, :, None] - p[:, None]) ** 2).sum(-1)
+    expected_idx = np.argsort(full, axis=-1)[..., :5]
+    np.testing.assert_array_equal(idx, expected_idx)
+    np.testing.assert_allclose(
+        d, np.take_along_axis(full, expected_idx, axis=-1), atol=1e-10
+    )
+
+
+def test_knn_respects_points_mask(rng):
+    p = rng.normal(size=(1, 20, 3))
+    q = p[:, :4]
+    mask = np.ones((1, 20), bool)
+    mask[:, 10:] = False
+    _, idx = knn(jnp.asarray(q), jnp.asarray(p), k=6, points_mask=jnp.asarray(mask))
+    assert int(np.max(np.asarray(idx))) < 10
+
+
+def test_fps_first_index_and_spread(rng):
+    pts = rng.normal(size=(2, 128, 3))
+    sampled, idx = farthest_point_sampling(jnp.asarray(pts), 16)
+    assert idx.shape == (2, 16)
+    assert np.all(np.asarray(idx)[:, 0] == 0)
+    # all indices distinct
+    for b in range(2):
+        assert len(set(np.asarray(idx)[b].tolist())) == 16
+    # fps spreads better than the first-k prefix
+    def min_pairwise(x):
+        d = ((x[:, None] - x[None]) ** 2).sum(-1)
+        np.fill_diagonal(d, np.inf)
+        return d.min()
+
+    for b in range(2):
+        assert min_pairwise(np.asarray(sampled)[b]) >= min_pairwise(pts[b, :16])
+
+
+def test_fps_mask_excludes_padding(rng):
+    pts = rng.normal(size=(1, 64, 3))
+    pts[:, 40:] = 100.0  # padding garbage far away — would dominate FPS
+    mask = np.ones((1, 64), bool)
+    mask[:, 40:] = False
+    _, idx = farthest_point_sampling(jnp.asarray(pts), 10, mask=jnp.asarray(mask))
+    assert int(np.max(np.asarray(idx))) < 40
+
+
+def test_fps_matches_greedy_reference(rng):
+    """Cross-check against an independent O(N^2) numpy greedy FPS."""
+    pts = rng.normal(size=(1, 50, 3))
+    _, idx = farthest_point_sampling(jnp.asarray(pts), 8)
+    x = pts[0]
+    chosen = [0]
+    mind = ((x - x[0]) ** 2).sum(-1)
+    for _ in range(7):
+        nxt = int(np.argmax(mind))
+        chosen.append(nxt)
+        mind = np.minimum(mind, ((x - x[nxt]) ** 2).sum(-1))
+    np.testing.assert_array_equal(np.asarray(idx)[0], chosen)
+
+
+def test_icp_recovers_small_transform(rng):
+    R = Rotation.from_euler("xyz", [4, -3, 5], degrees=True).as_matrix()
+    t = np.array([0.05, -0.02, 0.03])
+    src = rng.normal(size=(1, 256, 3))
+    tgt = src @ R.T + t
+    res = iterative_closest_point(
+        jnp.asarray(src), jnp.asarray(tgt), max_iterations=30
+    )
+    np.testing.assert_allclose(res.R[0], R, atol=1e-5)
+    np.testing.assert_allclose(res.t[0], t, atol=1e-5)
+    assert float(res.rmse[0]) < 1e-5
+
+
+def test_log_optimal_transport_is_doubly_stochastic(rng):
+    scores = jnp.asarray(rng.normal(size=(1, 5, 7)))
+    Z = log_optimal_transport(scores, jnp.asarray(1.0), iters=200)
+    P = np.exp(np.asarray(Z)) / (5 + 7)
+    # rows of the augmented coupling sum to marginals
+    np.testing.assert_allclose(P[0, :-1].sum(-1), np.full(5, 1.0 / 12), rtol=1e-3)
+    np.testing.assert_allclose(P[0, :, :-1].sum(0), np.full(7, 1.0 / 12), rtol=1e-3)
+
+
+def test_sinkhorn_divergence_properties(rng):
+    x = jnp.asarray(rng.normal(size=(64, 3)) * 0.3)
+    y = jnp.asarray(rng.normal(size=(64, 3)) * 0.3 + 0.5)
+    d_xy = sinkhorn_divergence(x, y)
+    d_xx = sinkhorn_divergence(x, x)
+    assert float(d_xx) < 1e-6  # debiased: S(x, x) = 0
+    assert float(d_xy) > float(d_xx)
+    # differentiable and pulls x toward y
+    g = jax.grad(lambda x_: sinkhorn_divergence(x_, y).sum())(x)
+    assert bool(jnp.all(jnp.isfinite(g)))
+    # gradient descent step reduces divergence
+    x2 = x - 0.5 * g
+    assert float(sinkhorn_divergence(x2, y)) < float(d_xy)
+
+
+def test_sinkhorn_divergence_batched(rng):
+    x = jnp.asarray(rng.normal(size=(2, 32, 3)))
+    y = jnp.asarray(rng.normal(size=(2, 32, 3)))
+    d = sinkhorn_divergence(x, y)
+    assert d.shape == (2,)
