@@ -1,0 +1,203 @@
+// Isosurface extraction from a dense scalar grid via marching tetrahedra.
+//
+// Native host-op replacing the reference's vendored marching-cubes backend
+// (lib_shape_prior/.../libmcubes). We use the Kuhn 6-tetrahedra decomposition
+// of each cube instead of the classic 256-case cube tables: it needs no case
+// tables, tiles space consistently (shared faces get matching diagonals, so
+// the surface is watertight), and vertex placement is the same linear
+// interpolation along grid edges. Triangle count is ~2x marching cubes,
+// which the quadric simplifier (simplify.cpp) reduces afterwards.
+//
+// Grid layout: values[x * ny * nz + y * nz + z], C-contiguous float32.
+// Convention: a vertex is emitted on every tet edge crossing the isovalue;
+// triangles are oriented so normals point toward LOWER values (outward for
+// occupancy-logit grids where inside > threshold, matching the reference's
+// mcubes orientation for logits = -sdf).
+
+#include <cstdint>
+#include <cstring>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+struct V3 {
+  float x, y, z;
+};
+
+// The 6 tetrahedra of the Kuhn decomposition, as corner indices of the unit
+// cube (bit i of the index = coordinate along axis i: 1=x, 2=y, 4=z).
+// Every tet contains the main diagonal 0 -> 7.
+static const int kTets[6][4] = {
+    {0, 1, 3, 7}, {0, 3, 2, 7}, {0, 2, 6, 7},
+    {0, 6, 4, 7}, {0, 4, 5, 7}, {0, 5, 1, 7},
+};
+
+struct ExtractState {
+  std::vector<float> verts;    // 3 floats per vertex
+  std::vector<int64_t> tris;   // 3 ints per triangle
+  std::unordered_map<uint64_t, int64_t> edge_to_vertex;
+};
+
+// Unique key for the (grid-corner a, grid-corner b) edge, order-invariant.
+static inline uint64_t EdgeKey(uint64_t a, uint64_t b) {
+  if (a > b) std::swap(a, b);
+  return (a << 32) | b;
+}
+
+static int64_t VertexOnEdge(ExtractState& st, uint64_t ia, uint64_t ib,
+                            const V3& pa, const V3& pb, float va, float vb,
+                            float iso) {
+  const uint64_t key = EdgeKey(ia, ib);
+  auto it = st.edge_to_vertex.find(key);
+  if (it != st.edge_to_vertex.end()) return it->second;
+  float denom = vb - va;
+  float t = denom == 0.0f ? 0.5f : (iso - va) / denom;
+  if (t < 0.0f) t = 0.0f;
+  if (t > 1.0f) t = 1.0f;
+  V3 p{pa.x + t * (pb.x - pa.x), pa.y + t * (pb.y - pa.y),
+       pa.z + t * (pb.z - pa.z)};
+  int64_t idx = static_cast<int64_t>(st.verts.size() / 3);
+  st.verts.push_back(p.x);
+  st.verts.push_back(p.y);
+  st.verts.push_back(p.z);
+  st.edge_to_vertex.emplace(key, idx);
+  return idx;
+}
+
+static void EmitTri(ExtractState& st, int64_t a, int64_t b, int64_t c) {
+  if (a == b || b == c || a == c) return;  // degenerate (t clamped)
+  st.tris.push_back(a);
+  st.tris.push_back(b);
+  st.tris.push_back(c);
+}
+
+// Process one tetrahedron with corner grid ids gi[4], positions p[4],
+// values v[4]. "Inside" = value > iso.
+static void DoTet(ExtractState& st, const uint64_t gi[4], const V3 p[4],
+                  const float v[4], float iso) {
+  int mask = 0;
+  for (int i = 0; i < 4; ++i)
+    if (v[i] > iso) mask |= (1 << i);
+  if (mask == 0 || mask == 15) return;
+
+  auto vtx = [&](int a, int b) {
+    return VertexOnEdge(st, gi[a], gi[b], p[a], p[b], v[a], v[b], iso);
+  };
+
+  // Single corner inside -> one triangle; orientation chosen so the face
+  // normal points away from the inside corner.
+  switch (mask) {
+    case 1: EmitTri(st, vtx(0, 1), vtx(0, 3), vtx(0, 2)); break;
+    case 2: EmitTri(st, vtx(1, 0), vtx(1, 2), vtx(1, 3)); break;
+    case 4: EmitTri(st, vtx(2, 0), vtx(2, 3), vtx(2, 1)); break;
+    case 8: EmitTri(st, vtx(3, 0), vtx(3, 1), vtx(3, 2)); break;
+    // Single corner outside -> one triangle, opposite orientation.
+    case 14: EmitTri(st, vtx(0, 1), vtx(0, 2), vtx(0, 3)); break;
+    case 13: EmitTri(st, vtx(1, 0), vtx(1, 3), vtx(1, 2)); break;
+    case 11: EmitTri(st, vtx(2, 0), vtx(2, 1), vtx(2, 3)); break;
+    case 7:  EmitTri(st, vtx(3, 0), vtx(3, 2), vtx(3, 1)); break;
+    // Two inside / two outside -> quad (two triangles).
+    case 3: {  // 0,1 inside
+      int64_t a = vtx(0, 2), b = vtx(0, 3), c = vtx(1, 3), d = vtx(1, 2);
+      EmitTri(st, a, b, c); EmitTri(st, a, c, d); break;
+    }
+    case 12: {  // 2,3 inside (complement of 3)
+      int64_t a = vtx(0, 2), b = vtx(0, 3), c = vtx(1, 3), d = vtx(1, 2);
+      EmitTri(st, a, c, b); EmitTri(st, a, d, c); break;
+    }
+    case 5: {  // 0,2 inside
+      int64_t a = vtx(0, 1), b = vtx(2, 1), c = vtx(2, 3), d = vtx(0, 3);
+      EmitTri(st, a, b, c); EmitTri(st, a, c, d); break;
+    }
+    case 10: {  // 1,3 inside
+      int64_t a = vtx(0, 1), b = vtx(2, 1), c = vtx(2, 3), d = vtx(0, 3);
+      EmitTri(st, a, c, b); EmitTri(st, a, d, c); break;
+    }
+    case 6: {  // 1,2 inside
+      int64_t a = vtx(1, 0), b = vtx(1, 3), c = vtx(2, 3), d = vtx(2, 0);
+      EmitTri(st, a, b, c); EmitTri(st, a, c, d); break;
+    }
+    case 9: {  // 0,3 inside
+      int64_t a = vtx(1, 0), b = vtx(1, 3), c = vtx(2, 3), d = vtx(2, 0);
+      EmitTri(st, a, c, b); EmitTri(st, a, d, c); break;
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Opaque result handle so Python can size its buffers before copying.
+struct IsoResult {
+  std::vector<float> verts;
+  std::vector<int64_t> tris;
+};
+
+IsoResult* isosurface_extract(const float* values, int64_t nx, int64_t ny,
+                              int64_t nz, float isovalue) {
+  ExtractState st;
+  // Reserve a heuristic amount to limit rehashing.
+  st.verts.reserve(16384);
+  st.tris.reserve(32768);
+
+  const int64_t syz = ny * nz;
+  auto val = [&](int64_t x, int64_t y, int64_t z) {
+    return values[x * syz + y * nz + z];
+  };
+  auto gid = [&](int64_t x, int64_t y, int64_t z) {
+    return static_cast<uint64_t>(x * syz + y * nz + z);
+  };
+
+  for (int64_t x = 0; x + 1 < nx; ++x) {
+    for (int64_t y = 0; y + 1 < ny; ++y) {
+      for (int64_t z = 0; z + 1 < nz; ++z) {
+        // Cube corner data; corner index bit 0 -> +x, bit 1 -> +y, bit 2 -> +z.
+        float cv[8];
+        V3 cp[8];
+        uint64_t cg[8];
+        bool any_lo = false, any_hi = false;
+        for (int c = 0; c < 8; ++c) {
+          int64_t cx = x + (c & 1), cy = y + ((c >> 1) & 1),
+                  cz = z + ((c >> 2) & 1);
+          cv[c] = val(cx, cy, cz);
+          cp[c] = V3{(float)cx, (float)cy, (float)cz};
+          cg[c] = gid(cx, cy, cz);
+          (cv[c] > isovalue ? any_hi : any_lo) = true;
+        }
+        if (!any_lo || !any_hi) continue;
+        for (const auto& tet : kTets) {
+          uint64_t gi[4];
+          V3 p[4];
+          float v[4];
+          for (int i = 0; i < 4; ++i) {
+            gi[i] = cg[tet[i]];
+            p[i] = cp[tet[i]];
+            v[i] = cv[tet[i]];
+          }
+          DoTet(st, gi, p, v, isovalue);
+        }
+      }
+    }
+  }
+
+  auto* res = new IsoResult();
+  res->verts = std::move(st.verts);
+  res->tris = std::move(st.tris);
+  return res;
+}
+
+int64_t iso_num_vertices(const IsoResult* r) {
+  return static_cast<int64_t>(r->verts.size() / 3);
+}
+int64_t iso_num_triangles(const IsoResult* r) {
+  return static_cast<int64_t>(r->tris.size() / 3);
+}
+void iso_copy(const IsoResult* r, float* verts_out, int64_t* tris_out) {
+  std::memcpy(verts_out, r->verts.data(), r->verts.size() * sizeof(float));
+  std::memcpy(tris_out, r->tris.data(), r->tris.size() * sizeof(int64_t));
+}
+void iso_free(IsoResult* r) { delete r; }
+
+}  // extern "C"

@@ -1,0 +1,284 @@
+// Quadric-error-metric mesh simplification (Garland & Heckbert style).
+//
+// Native host-op replacing the reference's vendored simplifier
+// (lib_shape_prior/.../libsimplify, Fast-Quadric-Mesh-Simplification).
+// Fresh implementation: per-vertex plane quadrics, greedy edge collapse by a
+// lazy min-heap of collapse costs, optimal-position solve with midpoint
+// fallback, and a normal-flip guard.
+
+#include <algorithm>
+#include <array>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <queue>
+#include <unordered_map>
+#include <unordered_set>
+#include <vector>
+
+namespace {
+
+struct Quadric {
+  // Symmetric 4x4 stored as upper triangle (10 coefficients).
+  double m[10] = {0};
+
+  void AddPlane(double a, double b, double c, double d) {
+    m[0] += a * a; m[1] += a * b; m[2] += a * c; m[3] += a * d;
+    m[4] += b * b; m[5] += b * c; m[6] += b * d;
+    m[7] += c * c; m[8] += c * d;
+    m[9] += d * d;
+  }
+  void Add(const Quadric& o) {
+    for (int i = 0; i < 10; ++i) m[i] += o.m[i];
+  }
+  double Eval(double x, double y, double z) const {
+    return m[0] * x * x + 2 * m[1] * x * y + 2 * m[2] * x * z + 2 * m[3] * x +
+           m[4] * y * y + 2 * m[5] * y * z + 2 * m[6] * y +
+           m[7] * z * z + 2 * m[8] * z + m[9];
+  }
+  // Solve grad(vQv) = 0 -> 3x3 linear system. Returns false if singular.
+  bool Optimal(double& x, double& y, double& z) const {
+    const double a00 = m[0], a01 = m[1], a02 = m[2];
+    const double a11 = m[4], a12 = m[5], a22 = m[7];
+    const double b0 = -m[3], b1 = -m[6], b2 = -m[8];
+    const double det = a00 * (a11 * a22 - a12 * a12) -
+                       a01 * (a01 * a22 - a12 * a02) +
+                       a02 * (a01 * a12 - a11 * a02);
+    if (std::fabs(det) < 1e-12) return false;
+    const double inv = 1.0 / det;
+    x = inv * (b0 * (a11 * a22 - a12 * a12) + b1 * (a02 * a12 - a01 * a22) +
+               b2 * (a01 * a12 - a02 * a11));
+    y = inv * (b0 * (a12 * a02 - a01 * a22) + b1 * (a00 * a22 - a02 * a02) +
+               b2 * (a01 * a02 - a00 * a12));
+    z = inv * (b0 * (a01 * a12 - a11 * a02) + b1 * (a01 * a02 - a00 * a12) +
+               b2 * (a00 * a11 - a01 * a01));
+    return std::isfinite(x) && std::isfinite(y) && std::isfinite(z);
+  }
+};
+
+struct Vec3 {
+  double x, y, z;
+  Vec3 operator-(const Vec3& o) const { return {x - o.x, y - o.y, z - o.z}; }
+  Vec3 Cross(const Vec3& o) const {
+    return {y * o.z - z * o.y, z * o.x - x * o.z, x * o.y - y * o.x};
+  }
+  double Dot(const Vec3& o) const { return x * o.x + y * o.y + z * o.z; }
+  double Norm() const { return std::sqrt(x * x + y * y + z * z); }
+};
+
+struct Candidate {
+  double cost;
+  int64_t v0, v1;
+  uint64_t stamp;  // sum of vertex versions at push time (lazy invalidation)
+  bool operator<(const Candidate& o) const { return cost > o.cost; }
+};
+
+struct Simplifier {
+  std::vector<Vec3> pos;
+  std::vector<Quadric> quadric;
+  std::vector<uint64_t> version;
+  std::vector<std::array<int64_t, 3>> faces;
+  std::vector<char> face_alive;
+  std::vector<std::vector<int64_t>> vertex_faces;
+  int64_t alive_count = 0;
+  std::priority_queue<Candidate> heap;
+
+  static uint64_t PairKey(int64_t a, int64_t b) {
+    if (a > b) std::swap(a, b);
+    return (static_cast<uint64_t>(a) << 32) | static_cast<uint64_t>(b);
+  }
+
+  void Init(const float* verts, int64_t nv, const int64_t* tris, int64_t nf) {
+    pos.resize(nv);
+    for (int64_t i = 0; i < nv; ++i)
+      pos[i] = {verts[3 * i], verts[3 * i + 1], verts[3 * i + 2]};
+    quadric.assign(nv, Quadric());
+    version.assign(nv, 0);
+    faces.resize(nf);
+    face_alive.assign(nf, 1);
+    vertex_faces.assign(nv, {});
+    alive_count = nf;
+    for (int64_t f = 0; f < nf; ++f) {
+      faces[f] = {tris[3 * f], tris[3 * f + 1], tris[3 * f + 2]};
+      for (int k = 0; k < 3; ++k) vertex_faces[faces[f][k]].push_back(f);
+      AddFaceQuadric(f);
+    }
+    // Seed heap with every edge.
+    std::unordered_set<uint64_t> seen;
+    for (int64_t f = 0; f < nf; ++f) {
+      for (int k = 0; k < 3; ++k) {
+        int64_t a = faces[f][k], b = faces[f][(k + 1) % 3];
+        if (seen.insert(PairKey(a, b)).second) PushCandidate(a, b);
+      }
+    }
+  }
+
+  void AddFaceQuadric(int64_t f) {
+    const Vec3 &p0 = pos[faces[f][0]], &p1 = pos[faces[f][1]],
+               &p2 = pos[faces[f][2]];
+    Vec3 n = (p1 - p0).Cross(p2 - p0);
+    double len = n.Norm();
+    if (len < 1e-15) return;
+    n = {n.x / len, n.y / len, n.z / len};
+    double d = -n.Dot(p0);
+    for (int k = 0; k < 3; ++k)
+      quadric[faces[f][k]].AddPlane(n.x, n.y, n.z, d);
+  }
+
+  void PushCandidate(int64_t a, int64_t b) {
+    Quadric q = quadric[a];
+    q.Add(quadric[b]);
+    double x, y, z;
+    double cost;
+    if (q.Optimal(x, y, z)) {
+      cost = q.Eval(x, y, z);
+    } else {
+      // Fallback: best of endpoints and midpoint.
+      const Vec3 mid{(pos[a].x + pos[b].x) / 2, (pos[a].y + pos[b].y) / 2,
+                     (pos[a].z + pos[b].z) / 2};
+      double c0 = q.Eval(pos[a].x, pos[a].y, pos[a].z);
+      double c1 = q.Eval(pos[b].x, pos[b].y, pos[b].z);
+      double cm = q.Eval(mid.x, mid.y, mid.z);
+      cost = std::min({c0, c1, cm});
+    }
+    heap.push({cost, a, b, version[a] + version[b]});
+  }
+
+  // Would collapsing (v0, v1) -> p flip any surviving face's normal?
+  bool FlipsNormal(int64_t v0, int64_t v1, const Vec3& p) const {
+    for (int64_t vid : {v0, v1}) {
+      for (int64_t f : vertex_faces[vid]) {
+        if (!face_alive[f]) continue;
+        const auto& fc = faces[f];
+        bool has0 = fc[0] == v0 || fc[1] == v0 || fc[2] == v0;
+        bool has1 = fc[0] == v1 || fc[1] == v1 || fc[2] == v1;
+        if (has0 && has1) continue;  // face dies with the collapse
+        Vec3 a = pos[fc[0]], b = pos[fc[1]], c = pos[fc[2]];
+        Vec3 before = (b - a).Cross(c - a);
+        // Replace vid with p.
+        Vec3 a2 = fc[0] == vid ? p : a, b2 = fc[1] == vid ? p : b,
+             c2 = fc[2] == vid ? p : c;
+        Vec3 after = (b2 - a2).Cross(c2 - a2);
+        if (before.Dot(after) <= 0) return true;
+      }
+    }
+    return false;
+  }
+
+  void Run(int64_t target_faces, double /*aggressiveness*/) {
+    while (alive_count > target_faces && !heap.empty()) {
+      Candidate c = heap.top();
+      heap.pop();
+      if (c.stamp != version[c.v0] + version[c.v1]) continue;  // stale
+      int64_t v0 = c.v0, v1 = c.v1;
+      if (v0 == v1) continue;
+
+      Quadric q = quadric[v0];
+      q.Add(quadric[v1]);
+      Vec3 p;
+      if (!q.Optimal(p.x, p.y, p.z)) {
+        p = {(pos[v0].x + pos[v1].x) / 2, (pos[v0].y + pos[v1].y) / 2,
+             (pos[v0].z + pos[v1].z) / 2};
+      }
+      if (FlipsNormal(v0, v1, p)) continue;
+
+      // Collapse v1 into v0 at position p.
+      pos[v0] = p;
+      quadric[v0] = q;
+      version[v0]++;
+      version[v1] = UINT64_MAX;  // retire v1
+
+      std::unordered_set<int64_t> neighbor_faces;
+      for (int64_t f : vertex_faces[v1]) {
+        if (!face_alive[f]) continue;
+        auto& fc = faces[f];
+        bool has0 = fc[0] == v0 || fc[1] == v0 || fc[2] == v0;
+        if (has0) {
+          face_alive[f] = 0;
+          --alive_count;
+        } else {
+          for (int k = 0; k < 3; ++k)
+            if (fc[k] == v1) fc[k] = v0;
+          vertex_faces[v0].push_back(f);
+        }
+      }
+      vertex_faces[v1].clear();
+
+      // Re-push candidate edges around v0.
+      std::unordered_set<int64_t> nbrs;
+      for (int64_t f : vertex_faces[v0]) {
+        if (!face_alive[f]) continue;
+        for (int k = 0; k < 3; ++k)
+          if (faces[f][k] != v0) nbrs.insert(faces[f][k]);
+      }
+      for (int64_t n : nbrs) PushCandidate(v0, n);
+    }
+  }
+
+  // Compact to output arrays.
+  void Output(std::vector<float>& out_verts, std::vector<int64_t>& out_tris) {
+    std::unordered_map<int64_t, int64_t> remap;
+    for (int64_t f = 0; f < (int64_t)faces.size(); ++f) {
+      if (!face_alive[f]) continue;
+      const auto& fc = faces[f];
+      if (fc[0] == fc[1] || fc[1] == fc[2] || fc[0] == fc[2]) continue;
+      int64_t ids[3];
+      for (int k = 0; k < 3; ++k) {
+        auto it = remap.find(fc[k]);
+        if (it == remap.end()) {
+          int64_t nid = static_cast<int64_t>(remap.size());
+          remap.emplace(fc[k], nid);
+          out_verts.push_back(static_cast<float>(pos[fc[k]].x));
+          out_verts.push_back(static_cast<float>(pos[fc[k]].y));
+          out_verts.push_back(static_cast<float>(pos[fc[k]].z));
+          ids[k] = nid;
+        } else {
+          ids[k] = it->second;
+        }
+      }
+      out_tris.push_back(ids[0]);
+      out_tris.push_back(ids[1]);
+      out_tris.push_back(ids[2]);
+    }
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+struct SimplifyResult {
+  std::vector<float> verts;
+  std::vector<int64_t> tris;
+};
+
+SimplifyResult* simplify_mesh(const float* verts, int64_t nv,
+                              const int64_t* tris, int64_t nf,
+                              int64_t target_faces, double aggressiveness) {
+  auto* res = new SimplifyResult();
+  if (nf <= target_faces) {
+    res->verts.assign(verts, verts + 3 * nv);
+    res->tris.assign(tris, tris + 3 * nf);
+    return res;
+  }
+  Simplifier s;
+  s.Init(verts, nv, tris, nf);
+  s.Run(target_faces, aggressiveness);
+  s.Output(res->verts, res->tris);
+  return res;
+}
+
+int64_t simplify_num_vertices(const SimplifyResult* r) {
+  return static_cast<int64_t>(r->verts.size() / 3);
+}
+int64_t simplify_num_triangles(const SimplifyResult* r) {
+  return static_cast<int64_t>(r->tris.size() / 3);
+}
+void simplify_copy(const SimplifyResult* r, float* verts_out,
+                   int64_t* tris_out) {
+  std::memcpy(verts_out, r->verts.data(), r->verts.size() * sizeof(float));
+  std::memcpy(tris_out, r->tris.data(), r->tris.size() * sizeof(int64_t));
+}
+void simplify_free(SimplifyResult* r) { delete r; }
+
+}  // extern "C"

@@ -96,17 +96,31 @@ def hat(w: Array) -> Array:
     )
 
 
+def _sincos_coeffs(theta_sq: Array):
+    """(sin t / t, (1 - cos t)/t^2, (t - sin t)/t^3) with Taylor fallbacks.
+
+    Uses the double-where trick so gradients stay finite at t = 0 (a bare
+    `where(cond, f(t)/t, taylor)` still propagates NaN through the untaken
+    branch under autodiff).
+    """
+    small = theta_sq < 1e-12
+    safe_sq = jnp.where(small, 1.0, theta_sq)
+    t = jnp.sqrt(safe_sq)
+    a = jnp.where(small, 1.0 - theta_sq / 6.0, jnp.sin(t) / t)
+    b = jnp.where(small, 0.5 - theta_sq / 24.0, (1.0 - jnp.cos(t)) / safe_sq)
+    c = jnp.where(
+        small, 1.0 / 6.0 - theta_sq / 120.0, (t - jnp.sin(t)) / (safe_sq * t)
+    )
+    return a, b, c
+
+
 def so3_exp(w: Array) -> Array:
-    """Rodrigues formula, numerically stable near 0: (..., 3) -> (..., 3, 3)."""
+    """Rodrigues formula, stable (incl. gradients) near 0:
+    (..., 3) -> (..., 3, 3)."""
     theta_sq = jnp.sum(w * w, axis=-1)
-    theta = jnp.sqrt(theta_sq + 1e-32)
     W = hat(w)
     W2 = W @ W
-    # sin(t)/t and (1-cos(t))/t^2 with Taylor guards near zero.
-    a = jnp.where(theta_sq > 1e-12, jnp.sin(theta) / theta, 1.0 - theta_sq / 6.0)
-    b = jnp.where(
-        theta_sq > 1e-12, (1.0 - jnp.cos(theta)) / theta_sq, 0.5 - theta_sq / 24.0
-    )
+    a, b, _ = _sincos_coeffs(theta_sq)
     eye = jnp.eye(3, dtype=w.dtype)
     return eye + a[..., None, None] * W + b[..., None, None] * W2
 
@@ -115,17 +129,9 @@ def se3_exp(xi: Array) -> Array:
     """se(3) exp map: xi = (..., 6) [rho | omega] -> (..., 3, 4)."""
     rho, w = xi[..., :3], xi[..., 3:]
     theta_sq = jnp.sum(w * w, axis=-1)
-    theta = jnp.sqrt(theta_sq + 1e-32)
     W = hat(w)
     W2 = W @ W
-    b = jnp.where(
-        theta_sq > 1e-12, (1.0 - jnp.cos(theta)) / theta_sq, 0.5 - theta_sq / 24.0
-    )
-    c = jnp.where(
-        theta_sq > 1e-12,
-        (theta - jnp.sin(theta)) / (theta_sq * theta),
-        1.0 / 6.0 - theta_sq / 120.0,
-    )
+    _, b, c = _sincos_coeffs(theta_sq)
     eye = jnp.eye(3, dtype=xi.dtype)
     R = so3_exp(w)
     V = eye + b[..., None, None] * W + c[..., None, None] * W2
@@ -146,9 +152,13 @@ def so3_log(R: Array) -> Array:
         ],
         axis=-1,
     )
-    sin_theta = jnp.sin(theta)
+    near_zero = cos_theta > 1.0 - 1e-9
+    safe_theta = jnp.where(near_zero, 1.0, theta)
+    # theta / (2 sin theta) ~= 1/2 + (1 - cos theta)/6 near zero.
     scale = jnp.where(
-        jnp.abs(sin_theta) > 1e-7, theta / (2.0 * sin_theta + 1e-32), 0.5
+        near_zero,
+        0.5 + (1.0 - cos_theta) / 6.0,
+        safe_theta / (2.0 * jnp.sin(safe_theta)),
     )
     return scale[..., None] * vee
 

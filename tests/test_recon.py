@@ -1,0 +1,138 @@
+"""Reconstruction pipeline tests against analytic SDFs (no neural net):
+grid evaluation, hierarchical refinement vs dense parity, native isosurface
+extraction + simplification, mesh utilities."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from livingscenes_tpu.recon import (
+    Mesh,
+    MeshExtractor,
+    MeshExtractorConfig,
+    dense_grid_values,
+    hierarchical_grid_values,
+)
+
+RADIUS = 0.35
+
+
+def sphere_logits(pts):
+    """Occupancy logits of a sphere: positive inside (logits = -sdf)."""
+    return RADIUS - jnp.linalg.norm(pts, axis=-1)
+
+
+def sphere_logits_codes(query, codes):
+    c = codes["t"][:, 0]
+    return RADIUS * codes["s"][:, None] - jnp.linalg.norm(
+        query - c[:, None], axis=-1
+    )
+
+
+def test_dense_grid_shape_and_values():
+    vals = dense_grid_values(sphere_logits, resolution=16, box_size=1.1)
+    assert vals.shape == (17, 17, 17)
+    # center value = RADIUS, corner negative
+    np.testing.assert_allclose(float(vals[8, 8, 8]), RADIUS, atol=1e-6)
+    assert float(vals[0, 0, 0]) < 0
+
+
+def test_hierarchical_matches_dense_near_surface():
+    dense = dense_grid_values(sphere_logits, resolution=32, box_size=1.1)
+    hier = hierarchical_grid_values(
+        sphere_logits,
+        resolution0=8,
+        upsampling_steps=2,
+        threshold=0.0,
+        box_size=1.1,
+    )
+    assert hier.shape == dense.shape
+    d = np.asarray(dense)
+    h = np.asarray(hier)
+    # Exact where re-evaluated (near surface); elsewhere interpolated but
+    # sign-correct.
+    near = np.abs(d) < 0.05
+    np.testing.assert_allclose(h[near], d[near], atol=1e-6)
+    np.testing.assert_array_equal(h > 0, d > 0)
+
+
+def test_extractor_sphere_geometry():
+    cfg = MeshExtractorConfig(
+        resolution0=16, upsampling_steps=1, simplify_nfaces=None
+    )
+    ex = MeshExtractor(sphere_logits_codes, cfg)
+    codes = {
+        "s": jnp.ones((1,)),
+        "t": jnp.zeros((1, 1, 3)),
+        "z_inv": jnp.zeros((1, 4)),
+        "z_so3": jnp.zeros((1, 4, 3)),
+    }
+    mesh = ex.generate_from_codes(codes)
+    assert not mesh.is_empty
+    r = np.linalg.norm(mesh.vertices, axis=-1)
+    np.testing.assert_allclose(r.mean(), RADIUS, atol=0.01)
+    assert r.max() < RADIUS + 0.03 and r.min() > RADIUS - 0.03
+
+
+def test_extractor_applies_scale_translation():
+    cfg = MeshExtractorConfig(
+        resolution0=16, upsampling_steps=1, simplify_nfaces=None
+    )
+    ex = MeshExtractor(sphere_logits_codes, cfg)
+    codes = {
+        "s": jnp.asarray([2.0]),
+        "t": jnp.asarray([[[0.3, -0.2, 0.1]]]),
+        "z_inv": jnp.zeros((1, 4)),
+        "z_so3": jnp.zeros((1, 4, 3)),
+    }
+    mesh = ex.generate_from_codes(codes)
+    center = mesh.vertices.mean(0)
+    np.testing.assert_allclose(center, [0.3, -0.2, 0.1], atol=0.02)
+    r = np.linalg.norm(mesh.vertices - center, axis=-1)
+    np.testing.assert_allclose(r.mean(), 2.0 * RADIUS, atol=0.02)
+
+
+def test_extractor_simplify_cap():
+    cfg = MeshExtractorConfig(
+        resolution0=16, upsampling_steps=1, simplify_nfaces=300
+    )
+    ex = MeshExtractor(sphere_logits_codes, cfg)
+    codes = {
+        "s": jnp.ones((1,)),
+        "t": jnp.zeros((1, 1, 3)),
+        "z_inv": jnp.zeros((1, 4)),
+        "z_so3": jnp.zeros((1, 4, 3)),
+    }
+    mesh = ex.generate_from_codes(codes)
+    assert 0 < len(mesh.faces) <= 330  # small tolerance over target
+    r = np.linalg.norm(mesh.vertices, axis=-1)
+    np.testing.assert_allclose(r.mean(), RADIUS, atol=0.03)
+
+
+def test_empty_field_gives_empty_mesh():
+    cfg = MeshExtractorConfig(resolution0=8, upsampling_steps=0)
+    ex = MeshExtractor(lambda q, c: jnp.full(q.shape[:-1], -5.0), cfg)
+    codes = {"s": jnp.ones((1,)), "t": jnp.zeros((1, 1, 3))}
+    mesh = ex.generate_from_codes(codes)
+    assert mesh.is_empty
+
+
+def test_mesh_surface_sampling_and_io(tmp_path):
+    m = Mesh.placeholder_box(2.0)
+    pts = m.sample_surface(1000, seed=1)
+    assert pts.shape == (1000, 3)
+    assert np.abs(pts).max() <= 1.0 + 1e-6
+    # on the surface: at least one |coord| == 1
+    assert np.all(np.isclose(np.abs(pts), 1.0, atol=1e-6).any(axis=1))
+    m.export_obj(str(tmp_path / "box.obj"))
+    m.export_ply(str(tmp_path / "box.ply"))
+    assert (tmp_path / "box.obj").read_text().startswith("v ")
+    assert (tmp_path / "box.ply").stat().st_size > 100
+
+
+def test_mesh_apply_transform():
+    m = Mesh.placeholder_box(1.0)
+    tsfm = np.eye(4)
+    tsfm[:3, 3] = [1.0, 2.0, 3.0]
+    m.apply_transform(tsfm)
+    np.testing.assert_allclose(m.vertices.mean(0), [1.0, 2.0, 3.0], atol=1e-6)
