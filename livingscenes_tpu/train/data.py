@@ -1,0 +1,446 @@
+"""Training data pipeline.
+
+Host-side numpy pipeline feeding the TPU trainer (device_put happens in
+Trainer.place_batch). Two sources:
+
+* `ShapeNetSDFDataset` — reads the reference's preprocessed ShapeNet layout
+  (lib_shape_prior/dataset/shapenet_new2.py:278-307): per-object directories
+  with pointcloud.npz / points_uni.npz / points_nss.npz and optional
+  depth-view clouds dep_pcl_*.npz, split CSVs, class-balanced resampling.
+* `SyntheticShapeDataset` — procedural shapes (boxes / ellipsoids /
+  capsules / unions) with analytic SDFs; used by tests and demo training
+  where the ShapeNet preprocessing is unavailable.
+
+The scene-simulation augmentation suite mirrors shapenet_new2.py's v1/v2
+augs (:555-844): random SIM(3) jitter, outlier-object injection, ground and
+vertical plane injection, and ball removal (sensor-dropout simulation).
+"""
+from __future__ import annotations
+
+import csv
+import dataclasses
+import glob
+import os
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+Batch = Dict[str, np.ndarray]
+
+
+# ---------------------------------------------------------------------------
+# Augmentations (shapenet_new2.py:555-844 re-designed in vectorized numpy)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class AugmentConfig:
+    """Knobs mirror configs/3rscan/dgcnn_attn_inner.yaml:83-103."""
+
+    use_augmentation: bool = True
+    aug_ratio: float = 0.6
+
+    random_object_prob: float = 0.7
+    random_object_radius: float = 0.15
+    random_object_radius_std: float = 0.07
+    random_object_center_near_surface: bool = True
+    random_object_center_L: float = 0.15
+    random_object_scale: tuple = (0.5, 1.5)
+
+    random_plane_prob: float = 0.5
+    random_plane_vertical_prob: float = 0.5
+    random_plane_vertical_scale: tuple = (0.05, 0.5)
+    random_plane_vertical_height_range: tuple = (0.4, 1.0)
+    random_plane_vertical_horizon_range: tuple = (0.4, 0.5)
+    random_plane_ground_scale: tuple = (0.4, 1.0)
+    random_plane_ground_range: float = 0.2
+
+    random_ball_removal_prob: float = 0.6
+    random_ball_removal_max_k: int = 50
+    random_ball_removal_noise_std: float = 0.05
+
+
+def _random_rotation(rng: np.random.Generator) -> np.ndarray:
+    q = rng.normal(size=4)
+    q /= np.linalg.norm(q)
+    w, x, y, z = q
+    return np.array(
+        [
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+        ]
+    )
+
+
+def augment_scene_sim(
+    pcl: np.ndarray, rng: np.random.Generator, cfg: AugmentConfig
+) -> np.ndarray:
+    """Clutter simulation on an input cloud (N, 3): replaces a subset of the
+    points with outlier blobs / planes, removes balls of points (keeping N
+    fixed by resampling survivors)."""
+    n = len(pcl)
+    out = pcl.copy()
+
+    # --- ball removal: delete points near a few random centers, then pad by
+    # resampling survivors with jitter (shapenet_new2.py ball removal aug)
+    if rng.random() < cfg.random_ball_removal_prob:
+        k = rng.integers(1, 4)
+        keep = np.ones(n, bool)
+        for _ in range(k):
+            center = out[rng.integers(0, n)]
+            r = abs(rng.normal(0, cfg.random_ball_removal_noise_std)) + 0.02
+            keep &= np.linalg.norm(out - center, axis=-1) > r
+        if keep.sum() >= 32:
+            survivors = out[keep]
+            pad_idx = rng.integers(0, len(survivors), n - len(survivors))
+            pad = survivors[pad_idx] + rng.normal(
+                0, 0.002, (n - len(survivors), 3)
+            )
+            out = np.concatenate([survivors, pad])
+
+    # --- outlier object: a random blob overwrite of a point subset
+    if rng.random() < cfg.random_object_prob:
+        m = int(n * rng.uniform(0.02, 0.1))
+        radius = abs(
+            rng.normal(cfg.random_object_radius, cfg.random_object_radius_std)
+        )
+        if cfg.random_object_center_near_surface:
+            center = out[rng.integers(0, n)] + rng.uniform(
+                -cfg.random_object_center_L, cfg.random_object_center_L, 3
+            )
+        else:
+            center = rng.uniform(-0.5, 0.5, 3)
+        blob = center + rng.normal(0, radius / 2, (m, 3)) * rng.uniform(
+            *cfg.random_object_scale
+        )
+        idx = rng.choice(n, m, replace=False)
+        out[idx] = blob
+
+    # --- plane injection: ground or vertical wall patch
+    if rng.random() < cfg.random_plane_prob:
+        m = int(n * rng.uniform(0.05, 0.15))
+        if rng.random() < cfg.random_plane_vertical_prob:
+            s = rng.uniform(*cfg.random_plane_vertical_scale)
+            h = rng.uniform(*cfg.random_plane_vertical_height_range)
+            d = rng.uniform(*cfg.random_plane_vertical_horizon_range)
+            normal_dir = rng.integers(0, 2)  # x or y facing wall
+            plane = np.empty((m, 3))
+            plane[:, normal_dir] = d * rng.choice([-1.0, 1.0])
+            plane[:, 1 - normal_dir] = rng.uniform(-s, s, m)
+            plane[:, 2] = rng.uniform(-h / 2, h / 2, m)
+        else:
+            s = rng.uniform(*cfg.random_plane_ground_scale)
+            z = out[:, 2].min() + rng.uniform(
+                -cfg.random_plane_ground_range, 0.02
+            )
+            plane = np.stack(
+                [
+                    rng.uniform(-s, s, m),
+                    rng.uniform(-s, s, m),
+                    np.full(m, z),
+                ],
+                axis=-1,
+            )
+        idx = rng.choice(n, m, replace=False)
+        out[idx] = plane
+    return out
+
+
+def augment_sim3(
+    pcl: np.ndarray,
+    queries: List[np.ndarray],
+    rng: np.random.Generator,
+    rot: bool = True,
+    scale_range: tuple = (0.8, 1.25),
+    trans_std: float = 0.1,
+):
+    """Random SIM(3) applied consistently to the input and query sets
+    (shapenet_new2.py aug v2)."""
+    R = _random_rotation(rng) if rot else np.eye(3)
+    s = rng.uniform(*scale_range)
+    t = rng.normal(0, trans_std, 3)
+    apply = lambda x: (x * s) @ R.T + t
+    return apply(pcl), [apply(q) for q in queries], (R, s, t)
+
+
+# ---------------------------------------------------------------------------
+# Synthetic procedural dataset
+# ---------------------------------------------------------------------------
+
+def _sdf_box(p, half):
+    q = np.abs(p) - half
+    outside = np.linalg.norm(np.maximum(q, 0.0), axis=-1)
+    inside = np.minimum(np.max(q, axis=-1), 0.0)
+    return outside + inside
+
+
+def _sdf_ellipsoid(p, radii):
+    # approximate SDF (exact enough for training targets)
+    k0 = np.linalg.norm(p / radii, axis=-1)
+    k1 = np.linalg.norm(p / (radii**2), axis=-1)
+    return k0 * (k0 - 1.0) / np.maximum(k1, 1e-9)
+
+
+def _sdf_capsule(p, a, b, r):
+    pa = p - a
+    ba = b - a
+    h = np.clip((pa @ ba) / (ba @ ba), 0.0, 1.0)
+    return np.linalg.norm(pa - h[:, None] * ba, axis=-1) - r
+
+
+class SyntheticShapeDataset:
+    """Procedural shapes with analytic SDF supervision.
+
+    Each item provides the same keys the reference dataset produces
+    (shapenet_new2.py:299-354): inputs (noisy surface points), uniform and
+    near-surface SDF queries with values, and occupancy eval points.
+    """
+
+    def __init__(
+        self,
+        n_items: int = 256,
+        n_pcl: int = 1024,
+        n_uni: int = 1024,
+        n_nss: int = 1024,
+        n_eval: int = 2048,
+        noise_std: float = 0.005,
+        aug: Optional[AugmentConfig] = None,
+        seed: int = 0,
+    ):
+        self.n_items = n_items
+        self.n_pcl = n_pcl
+        self.n_uni = n_uni
+        self.n_nss = n_nss
+        self.n_eval = n_eval
+        self.noise_std = noise_std
+        self.aug = aug
+        self.seed = seed
+
+    def __len__(self):
+        return self.n_items
+
+    def _shape_sdf(self, rng: np.random.Generator):
+        kind = rng.integers(0, 3)
+        if kind == 0:
+            half = rng.uniform(0.15, 0.4, 3)
+            return lambda p: _sdf_box(p, half)
+        if kind == 1:
+            radii = rng.uniform(0.15, 0.45, 3)
+            return lambda p: _sdf_ellipsoid(p, radii)
+        a = rng.uniform(-0.3, 0.0, 3)
+        b = rng.uniform(0.0, 0.3, 3)
+        r = rng.uniform(0.08, 0.2)
+        return lambda p: _sdf_capsule(p, a, b, r)
+
+    def _surface_points(self, sdf, rng, n):
+        """Rejection + projection sampling of near-surface points."""
+        pts = rng.uniform(-0.55, 0.55, (n * 8, 3))
+        d = sdf(pts)
+        order = np.argsort(np.abs(d))
+        pts = pts[order[: n * 2]]
+        # project with a numeric gradient step (2 iterations)
+        for _ in range(2):
+            d = sdf(pts)
+            eps = 1e-4
+            g = np.stack(
+                [
+                    (sdf(pts + [eps, 0, 0]) - d) / eps,
+                    (sdf(pts + [0, eps, 0]) - d) / eps,
+                    (sdf(pts + [0, 0, eps]) - d) / eps,
+                ],
+                axis=-1,
+            )
+            g /= np.maximum(np.linalg.norm(g, axis=-1, keepdims=True), 1e-9)
+            pts = pts - d[:, None] * g
+        return pts[rng.choice(len(pts), n, replace=False)]
+
+    def __getitem__(self, idx: int) -> Batch:
+        rng = np.random.default_rng(self.seed * 100003 + idx)
+        sdf = self._shape_sdf(rng)
+
+        surface = self._surface_points(sdf, rng, self.n_pcl)
+        inputs = surface + rng.normal(0, self.noise_std, surface.shape)
+        if self.aug is not None and self.aug.use_augmentation:
+            if rng.random() < self.aug.aug_ratio:
+                inputs = augment_scene_sim(inputs, rng, self.aug)
+
+        uni = rng.uniform(-0.55, 0.55, (self.n_uni, 3))
+        nss = self._surface_points(sdf, rng, self.n_nss) + rng.normal(
+            0, 0.03, (self.n_nss, 3)
+        )
+        ev = rng.uniform(-0.55, 0.55, (self.n_eval, 3))
+        return {
+            "inputs": inputs.astype(np.float32),
+            "points_uni": uni.astype(np.float32),
+            "points_uni_value": sdf(uni).astype(np.float32),
+            "points_nss": nss.astype(np.float32),
+            "points_nss_value": sdf(nss).astype(np.float32),
+            "eval_points": ev.astype(np.float32),
+            "eval_points_occ": (sdf(ev) < 0).astype(np.float32),
+        }
+
+
+# ---------------------------------------------------------------------------
+# ShapeNet preprocessed layout reader
+# ---------------------------------------------------------------------------
+
+class ShapeNetSDFDataset:
+    """Reader for the reference's preprocessed data layout.
+
+    data_root/<category>/<object_id>/{pointcloud.npz, points_uni.npz,
+    points_nss.npz[, dep_pcl_0.npz ...]}; split CSV with columns
+    (category, object_id, split) — shapenet_new2.py:126-165,278-307.
+    """
+
+    def __init__(
+        self,
+        data_root: str,
+        split: str = "train",
+        split_csv: Optional[str] = None,
+        categories: Optional[Sequence[str]] = None,
+        n_pcl: int = 1024,
+        n_uni: int = 1024,
+        n_nss: int = 1024,
+        n_eval: int = 10000,
+        noise_std: float = 0.005,
+        input_mode: str = "pcl",  # or "dep" (fused depth views)
+        dep_min_use_view: int = 2,
+        dep_max_use_view: int = 8,
+        aug: Optional[AugmentConfig] = None,
+        class_balanced: bool = True,
+        proportion: float = 1.0,
+        seed: int = 0,
+    ):
+        self.root = data_root
+        self.n_pcl, self.n_uni, self.n_nss, self.n_eval = (
+            n_pcl, n_uni, n_nss, n_eval,
+        )
+        self.noise_std = noise_std
+        self.input_mode = input_mode
+        self.dep_min_use_view = dep_min_use_view
+        self.dep_max_use_view = dep_max_use_view
+        self.aug = aug
+        self.seed = seed
+
+        items: List[tuple] = []
+        if split_csv and os.path.exists(split_csv):
+            with open(split_csv) as f:
+                for row in csv.reader(f):
+                    if len(row) < 3:
+                        continue
+                    cat, oid, sp = row[0], row[1], row[2]
+                    if sp != split:
+                        continue
+                    if categories and cat not in categories:
+                        continue
+                    items.append((cat, oid))
+        else:
+            cats = categories or sorted(
+                d for d in os.listdir(data_root)
+                if os.path.isdir(os.path.join(data_root, d))
+            )
+            for cat in cats:
+                for oid in sorted(os.listdir(os.path.join(data_root, cat))):
+                    items.append((cat, oid))
+
+        # Drop entries whose files are missing (dataset_base.py:58-69 skips
+        # broken datapoints).
+        items = [
+            it
+            for it in items
+            if os.path.exists(
+                os.path.join(data_root, it[0], it[1], "points_uni.npz")
+            )
+        ]
+        if proportion < 1.0:
+            rng = np.random.default_rng(seed)
+            keep = max(1, int(len(items) * proportion))
+            items = [items[i] for i in rng.permutation(len(items))[:keep]]
+
+        if class_balanced and items:
+            # Resample so every category appears equally often
+            # (shapenet_new2.py:269-273).
+            by_cat: Dict[str, List[tuple]] = {}
+            for it in items:
+                by_cat.setdefault(it[0], []).append(it)
+            most = max(len(v) for v in by_cat.values())
+            rng = np.random.default_rng(seed + 1)
+            balanced = []
+            for v in by_cat.values():
+                reps = list(v) * (most // len(v))
+                extra = rng.choice(len(v), most - len(reps), replace=True)
+                balanced.extend(reps + [v[i] for i in extra])
+            items = balanced
+        self.items = items
+
+    def __len__(self):
+        return len(self.items)
+
+    def _load_input_cloud(self, d: str, rng) -> np.ndarray:
+        if self.input_mode == "dep":
+            views = sorted(glob.glob(os.path.join(d, "dep_pcl_*.npz")))
+            if views:
+                k = rng.integers(
+                    self.dep_min_use_view,
+                    min(self.dep_max_use_view, len(views)) + 1,
+                )
+                sel = rng.choice(len(views), k, replace=False)
+                clouds = [np.load(views[i])["pcl"] for i in sel]
+                return np.concatenate(clouds)
+        return np.load(os.path.join(d, "pointcloud.npz"))["points"]
+
+    def __getitem__(self, idx: int) -> Batch:
+        cat, oid = self.items[idx]
+        d = os.path.join(self.root, cat, oid)
+        rng = np.random.default_rng(self.seed * 7919 + idx)
+
+        cloud = self._load_input_cloud(d, rng)
+        sel = rng.choice(len(cloud), self.n_pcl, replace=len(cloud) < self.n_pcl)
+        inputs = cloud[sel] + rng.normal(0, self.noise_std, (self.n_pcl, 3))
+        if self.aug is not None and self.aug.use_augmentation:
+            if rng.random() < self.aug.aug_ratio:
+                inputs = augment_scene_sim(inputs, rng, self.aug)
+
+        uni_data = np.load(os.path.join(d, "points_uni.npz"))
+        nss_data = np.load(os.path.join(d, "points_nss.npz"))
+        ui = rng.choice(len(uni_data["points"]), self.n_uni)
+        ni = rng.choice(len(nss_data["points"]), self.n_nss)
+        ei = rng.choice(len(uni_data["points"]), self.n_eval)
+        uni_sdf = uni_data["sdf"] if "sdf" in uni_data else uni_data["value"]
+        nss_sdf = nss_data["sdf"] if "sdf" in nss_data else nss_data["value"]
+        return {
+            "inputs": inputs.astype(np.float32),
+            "points_uni": uni_data["points"][ui].astype(np.float32),
+            "points_uni_value": uni_sdf[ui].astype(np.float32),
+            "points_nss": nss_data["points"][ni].astype(np.float32),
+            "points_nss_value": nss_sdf[ni].astype(np.float32),
+            "eval_points": uni_data["points"][ei].astype(np.float32),
+            "eval_points_occ": (uni_sdf[ei] < 0).astype(np.float32),
+        }
+
+
+# ---------------------------------------------------------------------------
+# Batch iterator
+# ---------------------------------------------------------------------------
+
+def batch_iterator(
+    dataset, batch_size: int, shuffle: bool = True, seed: int = 0,
+    drop_last: bool = True, loop: bool = True,
+) -> Iterator[Batch]:
+    """Epoch-looping host batcher (replaces torch DataLoader for this
+    pipeline; items are stacked numpy dicts)."""
+    rng = np.random.default_rng(seed)
+    while True:
+        order = (
+            rng.permutation(len(dataset)) if shuffle else np.arange(len(dataset))
+        )
+        for start in range(0, len(order), batch_size):
+            idx = order[start : start + batch_size]
+            if drop_last and len(idx) < batch_size:
+                continue
+            items = [dataset[int(i)] for i in idx]
+            yield {
+                k: np.stack([it[k] for it in items]) for k in items[0]
+            }
+        if not loop:
+            return

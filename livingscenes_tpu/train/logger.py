@@ -1,0 +1,83 @@
+"""Training logger fan-out.
+
+Re-design of the reference plugin logger (lib_shape_prior/logger/*): metric
+streams go to JSONL + console (and TensorBoard if tensorboardX happens to be
+installed — it is optional), per-sample reports to CSV, meshes to OBJ files.
+Keyed by metric-name convention rather than the model's output_specs dict.
+"""
+from __future__ import annotations
+
+import csv
+import json
+import logging
+import os
+import socket
+import time
+from typing import Dict, Optional
+
+log = logging.getLogger("livingscenes_tpu")
+
+
+def configure_logging(log_dir: Optional[str] = None, level=logging.INFO):
+    """Hostname-tagged stream + optional file logging
+    (init/config_utils.py:72-103)."""
+    fmt = logging.Formatter(
+        f"%(asctime)s|{socket.gethostname()}|%(levelname)s| %(message)s"
+    )
+    root = logging.getLogger()
+    root.setLevel(level)
+    if not any(isinstance(h, logging.StreamHandler) for h in root.handlers):
+        sh = logging.StreamHandler()
+        sh.setFormatter(fmt)
+        root.addHandler(sh)
+    if log_dir:
+        os.makedirs(log_dir, exist_ok=True)
+        fh = logging.FileHandler(os.path.join(log_dir, "train.log"))
+        fh.setFormatter(fmt)
+        root.addHandler(fh)
+
+
+class TrainLogger:
+    def __init__(self, log_dir: str):
+        self.log_dir = log_dir
+        os.makedirs(log_dir, exist_ok=True)
+        self._metrics_path = os.path.join(log_dir, "metrics.jsonl")
+        self._tb = None
+        try:  # optional dependency
+            from tensorboardX import SummaryWriter  # type: ignore
+
+            self._tb = SummaryWriter(os.path.join(log_dir, "tb"))
+        except Exception:
+            pass
+
+    def log_metrics(self, phase: str, step: int, metrics: Dict[str, float]):
+        rec = {"phase": phase, "step": step, "time": time.time(), **metrics}
+        with open(self._metrics_path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        if self._tb is not None:
+            for k, v in metrics.items():
+                self._tb.add_scalar(f"{phase}/{k}", v, step)
+        parts = " ".join(
+            f"{k}={v:.5g}" for k, v in metrics.items() if isinstance(v, float)
+        )
+        log.info("[%s %d] %s", phase, step, parts)
+
+    def log_report(self, name: str, step: int, rows, mean_row=None):
+        """Per-sample CSV report with a mean row prepended
+        (xls_logger.py:61-78)."""
+        path = os.path.join(self.log_dir, f"{name}_{step}.csv")
+        if not rows:
+            return
+        keys = list(rows[0].keys())
+        with open(path, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=keys)
+            w.writeheader()
+            if mean_row is not None:
+                w.writerow(mean_row)
+            for r in rows:
+                w.writerow(r)
+
+    def log_mesh(self, name: str, step: int, mesh):
+        d = os.path.join(self.log_dir, "meshes")
+        os.makedirs(d, exist_ok=True)
+        mesh.export_obj(os.path.join(d, f"{name}_{step}.obj"))

@@ -1,0 +1,301 @@
+"""Iteration-oriented trainer.
+
+Re-design of the reference training runtime (lib_shape_prior/core/
+solver_v2.py:18-257 + model_base.py:112-133):
+
+* total_iter budget with eval_every_iter / checkpoint_iter triggers,
+* per-iteration multi-step LR decay with floor (solver_v2.py:230-247),
+* loss clamping (zero gradient when |loss| > loss_clip,
+  model_base.py:120-124) and per-component global-norm gradient clipping
+  (model_base.py:126-128, clip_grad_norm:249-300),
+* checkpoint semantics: per-step trace, rolling latest, metric-selected
+  best (logger_meta/checkpoint_logger.py:64-91),
+* resume from latest/step checkpoints with optimizer state + LR schedule
+  re-application (solver_v2.py:100-129).
+
+The train step is one jitted SPMD program: batch sharded over the mesh's
+"dp" axis, params replicated; XLA inserts the gradient psum (replacing
+DataParallel's gather, model_base.py:146-155).
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Any, Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import serialization
+from jax.sharding import Mesh
+
+from ..models.sim3recon import SIM3Recon
+from ..parallel.sharding import batch_sharding, replicate, replicated, shard_batch
+from .logger import TrainLogger
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainerConfig:
+    """Defaults mirror configs/3rscan/dgcnn_attn_inner.yaml:106-132."""
+
+    total_iter: int = 200_000
+    batch_size: int = 64
+    lr: float = 1e-4
+    decay_schedule: tuple = (120_000, 150_000, 180_000)
+    decay_factor: tuple = (0.3, 0.3, 0.3)
+    lr_min: float = 1e-8
+    grad_clip: float = 4.0
+    loss_clip: float = 4.0
+    eval_every_iter: int = 1000
+    eval_batches: int = 4
+    checkpoint_iter: int = 1000
+    log_every: int = 50
+    log_dir: str = "log/run"
+    seed: int = 12345
+    select_metric: str = "iou"
+    select_larger: bool = True
+
+
+def make_lr_schedule(cfg: TrainerConfig):
+    boundaries = {}
+    for step, factor in zip(cfg.decay_schedule, cfg.decay_factor):
+        boundaries[int(step)] = float(factor)
+    base = optax.piecewise_constant_schedule(cfg.lr, boundaries)
+    return lambda step: jnp.maximum(base(step), cfg.lr_min)
+
+
+def _clip_by_global_norm_per_component(max_norm: float):
+    """Clip each top-level component's gradients (encoder / decoder) to a
+    global norm independently — matching the reference's per-network-dict
+    clipping (model_base.py:126-128)."""
+
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        del params
+
+        def clip_component(tree):
+            leaves = jax.tree.leaves(tree)
+            norm = jnp.sqrt(sum(jnp.sum(l**2) for l in leaves))
+            scale = jnp.minimum(1.0, max_norm / jnp.maximum(norm, 1e-12))
+            return jax.tree.map(lambda l: l * scale, tree)
+
+        new = {k: clip_component(v) for k, v in updates.items()}
+        return new, state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+class TrainState:
+    """Minimal mutable bundle (kept out of jit; jitted fns take/return its
+    fields as pytrees)."""
+
+    def __init__(self, params, opt_state, step: int):
+        self.params = params
+        self.opt_state = opt_state
+        self.step = step
+
+
+class Trainer:
+    def __init__(
+        self,
+        model: SIM3Recon,
+        cfg: TrainerConfig = TrainerConfig(),
+        mesh: Optional[Mesh] = None,
+    ):
+        self.model = model
+        self.cfg = cfg
+        self.mesh = mesh
+        self.schedule = make_lr_schedule(cfg)
+        self.optimizer = optax.chain(
+            _clip_by_global_norm_per_component(cfg.grad_clip),
+            optax.scale_by_adam(),
+            optax.scale_by_learning_rate(self.schedule),
+        )
+        self.logger = TrainLogger(cfg.log_dir)
+        self._train_step = self._build_train_step()
+        self._val_step = self._build_val_step()
+
+    # ------------------------------------------------------------------
+    def _loss_fn(self, params, batch, rng):
+        loss, metrics = self.model.loss(params, batch, rng, train=True)
+        c = self.cfg.loss_clip
+        if c > 0:
+            # clamp: gradient becomes zero when the loss saturates
+            # (model_base.py:120-124)
+            loss = jnp.clip(loss, -c, c)
+        return loss, metrics
+
+    def _build_train_step(self):
+        def step_fn(params, opt_state, batch, rng):
+            (loss, metrics), grads = jax.value_and_grad(
+                self._loss_fn, has_aux=True
+            )(params, batch, rng)
+            updates, opt_state = self.optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            metrics["grad_norm"] = optax.global_norm(grads)
+            return params, opt_state, metrics
+
+        if self.mesh is not None:
+            bsh = batch_sharding(self.mesh)
+            rsh = replicated(self.mesh)
+            return jax.jit(
+                step_fn,
+                in_shardings=(rsh, rsh, bsh, rsh),
+                out_shardings=(rsh, rsh, rsh),
+                donate_argnums=(0, 1),
+            )
+        return jax.jit(step_fn, donate_argnums=(0, 1))
+
+    def _build_val_step(self):
+        def val_fn(params, batch):
+            _, metrics = self.model.loss(params, batch, None, train=False)
+            if "eval_points" in batch:
+                metrics["iou"] = jnp.mean(
+                    self.model.val_iou(params, batch)
+                )
+            return metrics
+
+        if self.mesh is not None:
+            bsh = batch_sharding(self.mesh)
+            rsh = replicated(self.mesh)
+            return jax.jit(val_fn, in_shardings=(rsh, bsh), out_shardings=rsh)
+        return jax.jit(val_fn)
+
+    # ------------------------------------------------------------------
+    def init_state(self, rng: Optional[jax.Array] = None) -> TrainState:
+        rng = rng if rng is not None else jax.random.PRNGKey(self.cfg.seed)
+        params = self.model.init_params(rng)
+        if self.mesh is not None:
+            params = replicate(params, self.mesh)
+        opt_state = self.optimizer.init(params)
+        return TrainState(params, opt_state, 0)
+
+    def place_batch(self, batch: Dict[str, np.ndarray]):
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        if self.mesh is not None:
+            batch = shard_batch(batch, self.mesh)
+        return batch
+
+    def train_step(self, state: TrainState, batch) -> Dict[str, Any]:
+        rng = jax.random.fold_in(
+            jax.random.PRNGKey(self.cfg.seed), state.step
+        )
+        batch = self.place_batch(batch)
+        state.params, state.opt_state, metrics = self._train_step(
+            state.params, state.opt_state, batch, rng
+        )
+        state.step += 1
+        return metrics
+
+    def val_step(self, state: TrainState, batch) -> Dict[str, Any]:
+        return self._val_step(state.params, self.place_batch(batch))
+
+    # ------------------------------------------------------------------
+    def run(
+        self,
+        state: TrainState,
+        train_iter: Iterator[Dict[str, np.ndarray]],
+        val_iter_factory=None,
+        total_iter: Optional[int] = None,
+    ) -> TrainState:
+        """Main loop (solver_v2.py:145-195 semantics)."""
+        cfg = self.cfg
+        total = total_iter if total_iter is not None else cfg.total_iter
+        t_last = time.time()
+        while state.step < total:
+            batch = next(train_iter)
+            metrics = self.train_step(state, batch)
+            step = state.step
+            if step % cfg.log_every == 0 or step == total:
+                m = {k: float(v) for k, v in metrics.items()}
+                m["lr"] = float(self.schedule(step))
+                m["it_per_sec"] = cfg.log_every / max(
+                    time.time() - t_last, 1e-9
+                )
+                t_last = time.time()
+                self.logger.log_metrics("train", step, m)
+            if val_iter_factory is not None and step % cfg.eval_every_iter == 0:
+                vals = []
+                vit = val_iter_factory()
+                for _ in range(cfg.eval_batches):
+                    try:
+                        vb = next(vit)
+                    except StopIteration:
+                        break
+                    vals.append(
+                        {k: float(v) for k, v in self.val_step(state, vb).items()}
+                    )
+                if vals:
+                    mean = {
+                        k: float(np.mean([v[k] for v in vals]))
+                        for k in vals[0]
+                    }
+                    self.logger.log_metrics("val", step, mean)
+                    self._maybe_select(state, mean)
+            if cfg.checkpoint_iter > 0 and step % cfg.checkpoint_iter == 0:
+                self.save_checkpoint(state, tag=str(step))
+                self.save_checkpoint(state, tag="latest")
+        self.save_checkpoint(state, tag="latest")
+        return state
+
+    # ------------------------------------------------------------------
+    def _ckpt_dir(self):
+        d = os.path.join(self.cfg.log_dir, "checkpoint")
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def save_checkpoint(self, state: TrainState, tag: str):
+        payload = {
+            "params": jax.tree.map(np.asarray, state.params),
+            "opt_state": jax.tree.map(np.asarray, state.opt_state),
+            "step": state.step,
+        }
+        path = os.path.join(self._ckpt_dir(), f"{tag}.ckpt")
+        with open(path, "wb") as f:
+            f.write(serialization.to_bytes(payload))
+
+    def load_checkpoint(self, state: TrainState, tag: str = "latest") -> TrainState:
+        path = os.path.join(self._ckpt_dir(), f"{tag}.ckpt")
+        payload = {
+            "params": state.params,
+            "opt_state": state.opt_state,
+            "step": 0,
+        }
+        with open(path, "rb") as f:
+            payload = serialization.from_bytes(payload, f.read())
+        params = payload["params"]
+        opt_state = payload["opt_state"]
+        if self.mesh is not None:
+            params = replicate(params, self.mesh)
+            opt_state = replicate(opt_state, self.mesh)
+        new = TrainState(params, opt_state, int(payload["step"]))
+        return new
+
+    def _maybe_select(self, state: TrainState, val_metrics: Dict[str, float]):
+        """Metric-selected checkpoint (checkpoint_logger.py:72-91)."""
+        key = self.cfg.select_metric
+        if key not in val_metrics:
+            return
+        value = val_metrics[key]
+        best_path = os.path.join(self._ckpt_dir(), "selected.metric")
+        best = None
+        if os.path.exists(best_path):
+            best = float(open(best_path).read().strip())
+        better = (
+            best is None
+            or (value > best if self.cfg.select_larger else value < best)
+        )
+        if better:
+            self.save_checkpoint(state, tag="selected")
+            with open(best_path, "w") as f:
+                f.write(str(value))
+            self.logger.log_metrics(
+                "select", state.step, {key: value}
+            )
