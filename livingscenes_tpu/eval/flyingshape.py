@@ -1,0 +1,210 @@
+"""FlyingShape benchmark driver.
+
+Re-design of eval_flyingshape.py: matching, relocalization and
+reconstruction over synthetic multi-scan scenes stored as directories of
+.npz files (one per scan; keys: pc (O, 3, N) or (O, N, 3), transform
+(O, 4, 4), class_id, obj_id). Per-scan instance batches run through the
+framework's batched solver instead of per-object python loops.
+"""
+from __future__ import annotations
+
+import glob
+import logging
+import os
+from typing import Dict, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from .. import se3
+from ..models.shape_prior import slice_codes
+from ..solver.more import MoreSolver
+from .metrics import (
+    compute_chamfer_distance,
+    compute_sdf_recall,
+    compute_volumetric_iou,
+)
+
+log = logging.getLogger(__name__)
+
+
+class FlyingShapeDataset:
+    """Scene list: root/<n_shape_dir>/<scene_dir>/*.npz, each npz a scan."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self.scene_dirs: List[str] = []
+        for n_shape in sorted(os.listdir(path)):
+            sub = os.path.join(path, n_shape)
+            if not os.path.isdir(sub):
+                continue
+            for scene in sorted(os.listdir(sub)):
+                self.scene_dirs.append(os.path.join(sub, scene))
+
+    def __len__(self):
+        return len(self.scene_dirs)
+
+    def __getitem__(self, idx: int) -> List[Dict[str, np.ndarray]]:
+        files = sorted(glob.glob(os.path.join(self.scene_dirs[idx], "*.npz")))
+        scans = []
+        for fp in files:
+            data = dict(np.load(fp, allow_pickle=True))
+            pc = np.asarray(data["pc"], np.float32)
+            if pc.shape[1] == 3 and pc.shape[-1] != 3:
+                pc = pc.transpose(0, 2, 1)  # (O, 3, N) -> (O, N, 3)
+            data["pc"] = pc
+            scans.append(data)
+        return scans
+
+
+def eval_matching(dataset, solver: MoreSolver, method: str = "sequential"):
+    """Object + scene-level matching recall (eval_flyingshape.py:62-107)."""
+    n_correct_total = 0
+    n_match_total = 0
+    ratio_lst = []
+    for scene in _iter_scenes(dataset):
+        ref_code = solver.encode_instances(jnp.asarray(scene[0]["pc"]))
+        for rescan in scene[1:]:
+            rescan_code = solver.encode_instances(jnp.asarray(rescan["pc"]))
+            n_obj = rescan["pc"].shape[0]
+            matches = solver.solve_object_matching(
+                ref_code, rescan_code, method
+            )
+            pred = np.asarray(matches["matches0"])
+            gt = np.arange(n_obj)
+            n_correct = int((pred == gt).sum())
+            n_correct_total += n_correct
+            n_match_total += n_obj
+            ratio_lst.append(n_correct / n_obj)
+
+    recall = 100.0 * n_correct_total / max(n_match_total, 1)
+    ratios = np.asarray(ratio_lst) * 100
+    result = {
+        "object_recall": recall,
+        "scene_recall@25": float((ratios >= 25).mean() * 100),
+        "scene_recall@50": float((ratios >= 50).mean() * 100),
+        "scene_recall@75": float((ratios >= 75).mean() * 100),
+        "scene_recall@100": float((ratios >= 100).mean() * 100),
+    }
+    log.info("FlyingShape matching: %s", result)
+    return result
+
+
+def eval_relocalization(
+    dataset, solver: MoreSolver, optim: bool = False
+):
+    """Per-object registration errors (eval_flyingshape.py:110-173).
+
+    All object pairs of a scene register in ONE batched call.
+    """
+    rre_list, rte_list, tsfm_err_list, cd_lst = [], [], [], []
+    for scene in _iter_scenes(dataset):
+        ref = scene[0]
+        for rescan in scene[1:2]:
+            gt = se3.concatenate(
+                jnp.asarray(rescan["transform"]),
+                se3.inverse(jnp.asarray(ref["transform"])),
+            )  # per-object ref -> rescan
+            pc1 = jnp.asarray(ref["pc"])
+            pc2 = jnp.asarray(rescan["pc"])
+            R, t = solver.solve_pairwise_registration(pc1, pc2, optim=optim)
+            gt_R = gt[..., :3, :3]
+            gt_t = gt[..., :3, 3:]
+            rre = np.asarray(se3.rotation_error(R, gt_R))
+            rte = np.asarray(se3.translation_error(t, gt_t))
+            # symmetry resolution (eval_flyingshape.py:140)
+            rre = np.minimum.reduce(
+                [rre, np.abs(180 - rre), np.abs(90 - rre)]
+            )
+            pred = np.asarray(se3.rt_to_se3(R, t))
+            for i in range(pc1.shape[0]):
+                tsfm_err = se3.compute_transformation_error(
+                    pc1[i : i + 1], pc2[i : i + 1],
+                    jnp.asarray(pred[i : i + 1]), gt[i : i + 1],
+                )
+                cd = se3.chamfer_distance_under_transforms(
+                    pc1[i : i + 1], pc2[i : i + 1],
+                    jnp.asarray(pred[i : i + 1]), gt[i : i + 1],
+                )
+                rre_list.append(float(rre[i]))
+                rte_list.append(float(rte[i]))
+                tsfm_err_list.append(float(tsfm_err))
+                cd_lst.append(float(cd[0]))
+
+    rre_a, rte_a = np.asarray(rre_list), np.asarray(rte_list)
+    tsfm_a, cd_a = np.asarray(tsfm_err_list), np.asarray(cd_lst)
+    sel5 = rre_a < 5
+    sel10 = rre_a < 10
+    result = {
+        "recall_rre5": float(sel5.mean() * 100),
+        "median_rre_rre5": float(np.median(rre_a[sel5])) if sel5.any() else None,
+        "median_rte_rre5": float(np.median(rte_a[sel5])) if sel5.any() else None,
+        "recall_rre10": float(sel10.mean() * 100),
+        "median_rre_rre10": float(np.median(rre_a[sel10])) if sel10.any() else None,
+        "median_rte_rre10": float(np.median(rte_a[sel10])) if sel10.any() else None,
+        "median_chamfer": float(np.median(cd_a)),
+        "median_te_cm": float(100 * np.median(tsfm_a[sel5])) if sel5.any() else None,
+    }
+    log.info("FlyingShape relocalization: %s", result)
+    return result
+
+
+def eval_reconstruction(
+    dataset,
+    solver: MoreSolver,
+    gt_mesh_loader=None,
+):
+    """Per-object reconstruction metrics (eval_flyingshape.py:176-214).
+
+    gt_mesh_loader(class_id, obj_id) -> Mesh supplies watertight GT meshes
+    (the reference hard-codes a local path, eval_flyingshape.py:196).
+    """
+    cd_lst, iou_lst, sdf_recall_lst = [], [], []
+    for scene in _iter_scenes(dataset):
+        t_scene = scene[0]
+        codes = solver.encode_instances(jnp.asarray(t_scene["pc"]))
+        poses = np.asarray(t_scene["transform"])
+        for i in range(t_scene["pc"].shape[0]):
+            mesh = solver.mesh_from_latent(slice_codes(codes, i))
+            tsfm = np.eye(4)
+            tsfm[:3, :4] = np.asarray(
+                se3.inverse(jnp.asarray(poses[i]))
+            )
+            if not mesh.is_empty:
+                mesh.apply_transform(tsfm)
+            if gt_mesh_loader is None:
+                continue
+            gt_mesh = gt_mesh_loader(
+                str(t_scene["class_id"][i]), str(t_scene["obj_id"][i])
+            )
+            if mesh.is_empty or gt_mesh is None:
+                iou_lst.append(0.0)
+                sdf_recall_lst.append(0.0)
+                continue
+            cd1, cd2 = compute_chamfer_distance(
+                gt_mesh.sample_surface(30000), mesh
+            )
+            cd_lst.append(cd1 + cd2)
+            sdf_recall_lst.append(compute_sdf_recall(mesh, gt_mesh, 0.05))
+            iou_lst.append(compute_volumetric_iou(mesh, gt_mesh))
+    result = {
+        "chamfer_mean": float(np.mean(cd_lst)) if cd_lst else None,
+        "sdf_recall": float((np.asarray(sdf_recall_lst) > 0.7).mean() * 100)
+        if sdf_recall_lst
+        else None,
+        "viou_recall": float((np.asarray(iou_lst) > 0.5).mean() * 100)
+        if iou_lst
+        else None,
+        "viou_mean": float(np.mean(iou_lst) * 100) if iou_lst else None,
+        "viou_median": float(np.median(iou_lst) * 100) if iou_lst else None,
+    }
+    log.info("FlyingShape reconstruction: %s", result)
+    return result
+
+
+def _iter_scenes(dataset):
+    if isinstance(dataset, (list, tuple)):
+        yield from dataset
+    else:
+        for i in range(len(dataset)):
+            yield dataset[i]

@@ -79,7 +79,7 @@ class VecDGCNNAttn(nn.Module):
         else:
             q = dst_xyz.reshape(B, N_dst, -1)
             p = src_xyz.reshape(B, N_src, -1)
-        _, idx = knn(q, p, k)  # (B, N_dst, K)
+        _, idx = knn(q, p, min(k, N_src))  # (B, N_dst, K)
         nn_f = jnp.take_along_axis(
             src_f[:, None], idx[..., None, None], axis=2
         )  # (B, N_dst, K, C, 3)

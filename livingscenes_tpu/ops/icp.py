@@ -54,11 +54,11 @@ def iterative_closest_point(
     if init_R is None:
         R0 = jnp.broadcast_to(jnp.eye(3, dtype=dtype), (B, 3, 3))
     else:
-        R0 = init_R
+        R0 = init_R.astype(dtype)
     if init_t is None:
         t0 = jnp.zeros((B, 3), dtype=dtype)
     else:
-        t0 = init_t
+        t0 = init_t.astype(dtype)
     if src_mask is None:
         src_mask = jnp.ones((B, N), dtype=bool)
     w = src_mask.astype(dtype)

@@ -1,0 +1,267 @@
+"""Benchmark driver tests on synthetic fixture datasets that mimic the
+FlyingShape and 3RScan on-disk formats."""
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.spatial.transform import Rotation
+
+from livingscenes_tpu.eval.flyingshape import (
+    FlyingShapeDataset,
+    eval_matching as fs_eval_matching,
+    eval_relocalization as fs_eval_relocalization,
+)
+from livingscenes_tpu.eval.rescan3r import (
+    Dataset3RScan,
+    disambiguate,
+    eval_matching as rs_eval_matching,
+    get_shapenet_category,
+    heterogeneous_batching,
+)
+from livingscenes_tpu.models.shape_prior import ShapePrior, ShapePriorConfig
+from livingscenes_tpu.recon.extractor import MeshExtractorConfig
+from livingscenes_tpu.recon.mesh import Mesh
+from livingscenes_tpu.solver import MoreSolver, MoreSolverConfig
+from livingscenes_tpu.solver.registration import RegistrationConfig
+from livingscenes_tpu.utils.io import load_ply
+
+SMALL = ShapePriorConfig(
+    c_dim=32,
+    num_layers=4,
+    feat_dim=(16, 16, 32, 32),
+    down_sample_layers=(2,),
+    down_sample_factor=(2,),
+    atten_start_layer=2,
+    atten_multi_head_c=8,
+    num_knn=8,
+    scale_factor=10.0,
+    decoder_dims=(96,) * 8,
+    n_pcl=128,
+)
+
+N_OBJ, N_PTS = 3, 256
+
+
+@pytest.fixture(scope="module")
+def solver():
+    model = ShapePrior(SMALL)
+    params = jax.tree.map(
+        lambda x: x.astype(jnp.float64),
+        model.init_params(jax.random.PRNGKey(0)),
+    )
+    return MoreSolver(
+        model,
+        params,
+        MoreSolverConfig(
+            n_input_point=128,
+            registration=RegistrationConfig(use_icp=True, icp_iterations=10),
+            mesh_extractor=MeshExtractorConfig(
+                resolution0=8, upsampling_steps=0, simplify_nfaces=None
+            ),
+        ),
+    )
+
+
+def make_objects(rng, n=N_OBJ):
+    objs = []
+    for i in range(n):
+        half = rng.uniform(0.2, 0.5, 3)
+        pts = rng.uniform(-1, 1, (N_PTS, 3)) * half
+        objs.append(pts + np.array([i * 2.0, 0, 0]))
+    return np.stack(objs)
+
+
+@pytest.fixture(scope="module")
+def flyingshape_dir(tmp_path_factory):
+    """Two scans of the same 3 objects, second scan rigidly moved."""
+    rng = np.random.default_rng(0)
+    root = tmp_path_factory.mktemp("flyingshape")
+    scene_dir = root / "shape_3" / "scene_000"
+    scene_dir.mkdir(parents=True)
+    objs = make_objects(rng)
+    Rm = Rotation.random(N_OBJ, random_state=1).as_matrix()
+    tm = rng.normal(size=(N_OBJ, 3)) * 0.3
+    moved = np.einsum("bij,bnj->bni", Rm, objs) + tm[:, None]
+    tsfm0 = np.tile(np.eye(4), (N_OBJ, 1, 1))
+    tsfm1 = np.tile(np.eye(4), (N_OBJ, 1, 1))
+    tsfm1[:, :3, :3] = Rm
+    tsfm1[:, :3, 3] = tm
+    np.savez(
+        scene_dir / "scan_000.npz",
+        pc=objs.transpose(0, 2, 1).astype(np.float32),
+        transform=tsfm0.astype(np.float32),
+        class_id=np.array(["cat"] * N_OBJ),
+        obj_id=np.array([f"o{i}" for i in range(N_OBJ)]),
+    )
+    np.savez(
+        scene_dir / "scan_001.npz",
+        pc=moved.transpose(0, 2, 1).astype(np.float32),
+        transform=tsfm1.astype(np.float32),
+        class_id=np.array(["cat"] * N_OBJ),
+        obj_id=np.array([f"o{i}" for i in range(N_OBJ)]),
+    )
+    return str(root)
+
+
+def test_flyingshape_dataset_reader(flyingshape_dir):
+    ds = FlyingShapeDataset(flyingshape_dir)
+    assert len(ds) == 1
+    scans = ds[0]
+    assert len(scans) == 2
+    assert scans[0]["pc"].shape == (N_OBJ, N_PTS, 3)
+
+
+def test_flyingshape_matching(flyingshape_dir, solver):
+    ds = FlyingShapeDataset(flyingshape_dir)
+    res = fs_eval_matching(ds, solver)
+    assert res["object_recall"] == 100.0
+    assert res["scene_recall@100"] == 100.0
+
+
+def test_flyingshape_relocalization(flyingshape_dir, solver):
+    ds = FlyingShapeDataset(flyingshape_dir)
+    res = fs_eval_relocalization(ds, solver, optim=False)
+    assert res["recall_rre5"] == 100.0
+    assert res["median_rre_rre5"] < 1.0
+    assert res["median_rte_rre5"] < 0.05
+
+
+# ---------------------------------------------------------------------------
+# 3RScan fixtures
+# ---------------------------------------------------------------------------
+
+def write_ply(path, verts):
+    with open(path, "wb") as f:
+        header = (
+            "ply\nformat binary_little_endian 1.0\n"
+            f"element vertex {len(verts)}\n"
+            "property float x\nproperty float y\nproperty float z\n"
+            "end_header\n"
+        )
+        f.write(header.encode())
+        f.write(np.ascontiguousarray(verts, "<f4").tobytes())
+
+
+@pytest.fixture(scope="module")
+def rescan_dir(tmp_path_factory):
+    rng = np.random.default_rng(1)
+    root = tmp_path_factory.mktemp("threerscan")
+    data_root = root / "data"
+    val = data_root / "val_set"
+    val.mkdir(parents=True)
+    (root / "splits").mkdir()
+
+    objs = make_objects(rng)  # ref instances (3, N, 3)
+    Rm = Rotation.random(N_OBJ, random_state=2).as_matrix()
+    tm = rng.normal(size=(N_OBJ, 3)) * 0.3
+    moved = np.einsum("bij,bnj->bni", Rm, objs) + tm[:, None]
+
+    labels = ["chair", "sofa", "bed"]
+
+    def write_scan(scan_id, clouds):
+        d = val / scan_id
+        d.mkdir()
+        all_pts = np.concatenate(clouds).astype(np.float32)
+        obj_ids = np.concatenate(
+            [np.full(len(c), i + 1) for i, c in enumerate(clouds)]
+        )
+        write_ply(d / "pointcloud.instances.align.ply", all_pts)
+        np.savez(d / "pointcloud.labels.npz", objectId=obj_ids)
+        seg = {
+            "segGroups": [
+                {"objectId": i + 1, "label": labels[i]}
+                for i in range(len(clouds))
+            ]
+        }
+        (d / "semseg.v2.json").write_text(json.dumps(seg))
+
+    write_scan("ref_scan", list(objs))
+    write_scan("rescan_a", list(moved))
+
+    # rigid transforms: instance from reference to rescan (row-major,
+    # row-vector convention -> store transposed like 3RScan does)
+    rigid = []
+    for i in range(N_OBJ):
+        g = np.eye(4)
+        g[:3, :3] = Rm[i]
+        g[:3, 3] = tm[i]
+        rigid.append(
+            {
+                "instance_reference": i + 1,
+                "instance_rescan": i + 1,
+                "transform": g.T.reshape(-1).tolist(),
+                "symmetry": 0,
+            }
+        )
+    scene_json = [
+        {
+            "reference": "ref_scan",
+            "ambiguity": [],
+            "scans": [
+                {
+                    "reference": "rescan_a",
+                    "transform": np.eye(4).reshape(-1).tolist(),
+                    "rigid": rigid,
+                }
+            ],
+        }
+    ]
+    (data_root / "3RScan.json").write_text(json.dumps(scene_json))
+    (root / "splits" / "val.txt").write_text("ref_scan\n")
+    return str(data_root)
+
+
+def test_3rscan_dataset_reader(rescan_dir):
+    ds = Dataset3RScan(rescan_dir, min_points=10)
+    assert len(ds) == 1
+    ref, rescans = ds.get_scene(0)
+    assert ref is not None
+    assert ref.pc.shape[0] == N_OBJ
+    assert len(rescans) == 1
+    rescan, sg = rescans[0]
+    # all objects moved -> all dynamic
+    assert len(rescan.moving_ids) == N_OBJ
+
+
+def test_3rscan_matching(rescan_dir, solver):
+    ds = Dataset3RScan(rescan_dir, min_points=10)
+    res = rs_eval_matching(ds, solver)
+    assert res["object_recall"] == 100.0
+    assert res["scene_recall@75"] == 100.0
+    assert res["dynamic_recall"] == 100.0
+
+
+def test_heterogeneous_batching():
+    pcs = [np.ones((5, 3)), np.ones((9, 3))]
+    pc, mask = heterogeneous_batching(pcs)
+    assert pc.shape == (2, 9, 3)
+    assert mask.sum() == 14
+    assert not mask[0, 5:].any()
+
+
+def test_category_mapping():
+    assert get_shapenet_category("armchair") == "chair"
+    assert get_shapenet_category("coffee table") == "table"
+    assert get_shapenet_category("weird thing") == "others"
+
+
+def test_disambiguate_chain():
+    ambiguity = [[
+        {"instance_source": 5, "instance_target": 7, "transform": np.eye(4).reshape(-1).tolist()},
+        {"instance_source": 7, "instance_target": 5, "transform": np.eye(4).reshape(-1).tolist()},
+    ]]
+    pred = np.array([5, 3])
+    gt = np.array([7, 3])
+    out = disambiguate(pred, gt, ambiguity)
+    assert out[0] == 7 and out[1] == 3
+
+
+def test_ply_roundtrip(tmp_path):
+    m = Mesh.placeholder_box(1.0)
+    m.export_ply(str(tmp_path / "box.ply"))
+    v, f = load_ply(str(tmp_path / "box.ply"))
+    np.testing.assert_allclose(v, m.vertices, atol=1e-6)
+    np.testing.assert_array_equal(f, m.faces)
