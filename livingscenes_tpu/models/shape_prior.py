@@ -40,6 +40,7 @@ class ShapePriorConfig:
     scale_factor: float = 64000.0
     center_pred: bool = True
     center_pred_scale: bool = True
+    encoder_type: str = "vecdgcnn_atten"
     decoder_type: str = "inner_deepsdf"
     decoder_dims: tuple = (768,) * 8
     decoder_dropout_prob: float = 0.2
@@ -47,20 +48,42 @@ class ShapePriorConfig:
     sdf2occ_factor: float = -1.0
     n_pcl: int = 1024  # encoder input size (dataset.n_pcl)
 
-    def build_encoder(self) -> VecDGCNNAttn:
-        return VecDGCNNAttn(
-            c_dim=self.c_dim,
-            num_layers=self.num_layers,
-            feat_dim=self.feat_dim,
-            down_sample_layers=self.down_sample_layers,
-            down_sample_factor=self.down_sample_factor,
-            atten_start_layer=self.atten_start_layer,
-            atten_multi_head_c=self.atten_multi_head_c,
-            num_knn=self.num_knn,
-            scale_factor=self.scale_factor,
-            center_pred=self.center_pred,
-            center_pred_scale=self.center_pred_scale,
-        )
+    def build_encoder(self):
+        """Encoder registry (mirrors model_utils.py:107-112 /
+        sim3sdf_vanilla.py:193-200)."""
+        if self.encoder_type == "vecdgcnn_atten":
+            return VecDGCNNAttn(
+                c_dim=self.c_dim,
+                num_layers=self.num_layers,
+                feat_dim=self.feat_dim,
+                down_sample_layers=self.down_sample_layers,
+                down_sample_factor=self.down_sample_factor,
+                atten_start_layer=self.atten_start_layer,
+                atten_multi_head_c=self.atten_multi_head_c,
+                num_knn=self.num_knn,
+                scale_factor=self.scale_factor,
+                center_pred=self.center_pred,
+                center_pred_scale=self.center_pred_scale,
+            )
+        from ..nn.encoders import DGCNN, PointNet, VecDGCNN, VecDGCNNV2
+
+        if self.encoder_type == "vecdgcnn":
+            return VecDGCNN(
+                c_dim=self.c_dim,
+                first_layer_knn=self.num_knn,
+                scale_factor=self.scale_factor,
+            )
+        if self.encoder_type == "vecdgcnn2":
+            return VecDGCNNV2(
+                c_dim=self.c_dim,
+                num_knn=self.num_knn,
+                scale_factor=self.scale_factor,
+            )
+        if self.encoder_type == "dgcnn":
+            return DGCNN(c_dim=self.c_dim, num_knn=self.num_knn)
+        if self.encoder_type == "pointnet":
+            return PointNet(c_dim=self.c_dim)
+        raise ValueError(f"unknown encoder_type {self.encoder_type}")
 
     def build_decoder(self):
         if self.decoder_type in ("inner_deepsdf", "deepsdf"):

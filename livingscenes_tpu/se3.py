@@ -285,6 +285,38 @@ def chamfer_distance_under_transforms(
     return jnp.mean(d_src, axis=1) + jnp.mean(d_ref, axis=1)
 
 
+def from_xyzquat(xyzquat: Array) -> Array:
+    """(.., 7) [x y z qx qy qz qw] -> (..., 3, 4) SE(3)
+    (lib_math/numpy_se3.py:73 equivalent)."""
+    t = xyzquat[..., :3]
+    x, y, z, w = (
+        xyzquat[..., 3],
+        xyzquat[..., 4],
+        xyzquat[..., 5],
+        xyzquat[..., 6],
+    )
+    n = jnp.sqrt(x * x + y * y + z * z + w * w)
+    x, y, z, w = x / n, y / n, z / n, w / n
+    R = jnp.stack(
+        [
+            jnp.stack(
+                [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+                axis=-1,
+            ),
+            jnp.stack(
+                [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+                axis=-1,
+            ),
+            jnp.stack(
+                [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+                axis=-1,
+            ),
+        ],
+        axis=-2,
+    )
+    return jnp.concatenate([R, t[..., None]], axis=-1)
+
+
 def huber_norm_weights(x: Array, b: float = 0.02) -> Array:
     """IRLS Huber weights on residual norms (pose_estimation.py:256-269)."""
     res_norm = jnp.where(x <= b, x**2, 2.0 * b * x - b**2)

@@ -1,0 +1,86 @@
+"""Runtime invariant checking and profiling hooks.
+
+Replaces the reference's anomaly machinery (core/solver_utils.py naninf
+forward hooks + torch.autograd.detect_anomaly, SURVEY.md §5) with
+jit-compatible equivalents:
+
+* `checkify_nan` wraps a jitted function with jax.experimental.checkify
+  float checks — NaN/Inf anywhere inside raises with a located error
+  (the `--anomaly` mode analog).
+* `assert_finite` — lightweight in-graph guard via equinox-style
+  jax.debug callback printing offending metric names.
+* `profile_trace` — context manager around jax.profiler for per-phase
+  traces (replacing the reference's wall-clock stats_dict timers,
+  mesh_extractor2.py:128-207).
+"""
+from __future__ import annotations
+
+import contextlib
+import logging
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import checkify
+
+log = logging.getLogger(__name__)
+
+
+def checkify_nan(fn: Callable) -> Callable:
+    """Wrap fn so NaN/Inf produced anywhere inside raises a located
+    checkify error. Usage:
+
+        safe_step = checkify_nan(train_step)
+        metrics = safe_step(params, batch)   # raises on NaN
+    """
+    checked = checkify.checkify(fn, errors=checkify.float_checks)
+
+    def wrapper(*args, **kwargs):
+        err, out = checked(*args, **kwargs)
+        checkify.check_error(err)
+        return out
+
+    return wrapper
+
+
+def assert_finite(tree, name: str = "tree"):
+    """In-graph finite check; logs via jax.debug.callback when violated.
+    Safe inside jit (no host sync on the happy path)."""
+
+    def report(bad, path):
+        if bad:
+            log.error("non-finite values in %s/%s", name, path)
+
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        p = "/".join(str(k) for k in path)
+        bad = ~jnp.all(jnp.isfinite(leaf))
+        jax.debug.callback(report, bad, p)
+
+
+@contextlib.contextmanager
+def profile_trace(log_dir: str | None = None, label: str = "trace"):
+    """jax.profiler trace if a log_dir is given, else wall-clock timing."""
+    t0 = time.perf_counter()
+    if log_dir:
+        with jax.profiler.trace(log_dir):
+            yield
+    else:
+        yield
+    log.info("[profile] %s: %.3fs", label, time.perf_counter() - t0)
+
+
+class StepTimer:
+    """Named phase timers (the stats_dict pattern of the reference's mesh
+    extractor, as a reusable utility)."""
+
+    def __init__(self):
+        self.stats = {}
+
+    @contextlib.contextmanager
+    def phase(self, name: str):
+        t0 = time.perf_counter()
+        yield
+        self.stats[name] = self.stats.get(name, 0.0) + (
+            time.perf_counter() - t0
+        )
