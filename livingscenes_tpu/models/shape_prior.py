@@ -40,6 +40,7 @@ class ShapePriorConfig:
     scale_factor: float = 64000.0
     center_pred: bool = True
     center_pred_scale: bool = True
+    approx_knn: bool = True
     encoder_type: str = "vecdgcnn_atten"
     decoder_type: str = "inner_deepsdf"
     decoder_dims: tuple = (768,) * 8
@@ -64,6 +65,7 @@ class ShapePriorConfig:
                 scale_factor=self.scale_factor,
                 center_pred=self.center_pred,
                 center_pred_scale=self.center_pred_scale,
+                approx_knn=self.approx_knn,
             )
         from ..nn.encoders import DGCNN, PointNet, VecDGCNN, VecDGCNNV2
 

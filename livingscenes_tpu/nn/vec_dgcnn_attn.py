@@ -55,22 +55,21 @@ class VecDGCNNAttn(nn.Module):
     use_dg: bool = True  # kNN in feature space each layer (dynamic graph)
     center_pred: bool = True
     center_pred_scale: bool = True
+    # approx_min_k-based graph build (recall ~0.99, ~3x faster top-k on
+    # TPU); neighbor aggregation is order-invariant so the graph tolerates
+    # the approximation. Set False for bit-exact parity runs.
+    approx_knn: bool = True
 
-    def _graph_feature(
+    def _knn_idx(
         self,
         src_f: Array,
         dst_f: Array,
         k: int,
         src_xyz: Array,
         dst_xyz: Array,
-        cross: bool,
     ) -> Array:
-        """Edge features for each dst point's k nearest src neighbors.
-
-        src_f: (B, N_src, C, 3); dst_f: (B, N_dst, C, 3).
-        Returns (B, N_dst, K, 2C or 3C, 3): [(-) cross, nn - dst, dst]
-        (vec_dgcnn_atten.py:124-161).
-        """
+        """kNN graph indices (B, N_dst, K): feature-space when use_dg
+        (vec_dgcnn_atten.py:137-142), else xyz-space."""
         B, N_src, C, _ = src_f.shape
         N_dst = dst_f.shape[1]
         if self.use_dg:
@@ -79,37 +78,24 @@ class VecDGCNNAttn(nn.Module):
         else:
             q = dst_xyz.reshape(B, N_dst, -1)
             p = src_xyz.reshape(B, N_src, -1)
-        _, idx = knn(q, p, min(k, N_src))  # (B, N_dst, K)
+        _, idx = knn(q, p, min(k, N_src), approx=self.approx_knn)
+        return idx
+
+    def _layer0_edge(self, src_f: Array, dst_f: Array, idx: Array) -> Array:
+        """Layer-0 edge features with the cross-product branch
+        (vec_dgcnn_atten.py:154-160): [cross(dst_dir, nn), nn - dst, dst].
+        C = 1 here, so materializing is cheap."""
         nn_f = jnp.take_along_axis(
             src_f[:, None], idx[..., None, None], axis=2
-        )  # (B, N_dst, K, C, 3)
-        dst_pad = dst_f[:, :, None, :, :]  # broadcast over K
-        if cross:
-            # Query-point direction crossed with the neighbor feature
-            # (only used at layer 0 where N_src == N_dst).
-            dst_dir = dst_f / jnp.maximum(
-                jnp.linalg.norm(dst_f, axis=-1, keepdims=True), 1e-12
-            )
-            crossed = jnp.cross(
-                jnp.broadcast_to(dst_dir[:, :, None], nn_f.shape), nn_f
-            )
-            edge = jnp.concatenate(
-                [
-                    crossed,
-                    nn_f - jnp.broadcast_to(dst_pad, nn_f.shape),
-                    jnp.broadcast_to(dst_pad, nn_f.shape),
-                ],
-                axis=-2,
-            )
-        else:
-            edge = jnp.concatenate(
-                [
-                    nn_f - jnp.broadcast_to(dst_pad, nn_f.shape),
-                    jnp.broadcast_to(dst_pad, nn_f.shape),
-                ],
-                axis=-2,
-            )
-        return edge
+        )  # (B, N, K, 1, 3)
+        dst_pad = jnp.broadcast_to(dst_f[:, :, None], nn_f.shape)
+        dst_dir = dst_f / jnp.maximum(
+            jnp.linalg.norm(dst_f, axis=-1, keepdims=True), 1e-12
+        )
+        crossed = jnp.cross(
+            jnp.broadcast_to(dst_dir[:, :, None], nn_f.shape), nn_f
+        )
+        return jnp.concatenate([crossed, nn_f - dst_pad, dst_pad], axis=-2)
 
     @nn.compact
     def __call__(self, x: Array):
@@ -137,9 +123,23 @@ class VecDGCNNAttn(nn.Module):
             else:
                 dst_xyz, dst_f = src_xyz, src_f
 
-            edge = self._graph_feature(
-                src_f, dst_f, self.num_knn, src_xyz, dst_xyz, cross=(i == 0)
-            )  # (B, N_dst, K, E, 3)
+            idx = self._knn_idx(
+                src_f, dst_f, self.num_knn, src_xyz, dst_xyz
+            )  # (B, N_dst, K)
+
+            # One gather of the raw source features per layer; the edge
+            # tensor feeds all edge convs of the layer. (A fused
+            # gather-after-matmul variant — nn/edge_conv.py — was measured
+            # slower on v5e: XLA's 5-D gathers, not the matmuls, dominate,
+            # and the fused form needs 2-4 gathers per layer.)
+            if i == 0:
+                edge = self._layer0_edge(src_f, dst_f, idx)
+            else:
+                nn_f = jnp.take_along_axis(
+                    src_f[:, None], idx[..., None, None], axis=2
+                )
+                dst_pad = jnp.broadcast_to(dst_f[:, :, None], nn_f.shape)
+                edge = jnp.concatenate([nn_f - dst_pad, dst_pad], axis=-2)
             e_in = c_in * (3 if i == 0 else 2)
 
             if i < self.atten_start_layer:
