@@ -1,0 +1,80 @@
+"""FlyingShape benchmark CLI (eval_flyingshape.py:216-230 equivalent).
+
+    python -m livingscenes_tpu.eval.run_flyingshape --data <dataset_dir> \
+        [--ckpt <torch_or_flax_checkpoint>] [--tasks matching,reloc,recon]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+
+import jax
+
+from ..models.shape_prior import ShapePrior, ShapePriorConfig
+from ..solver import MoreSolver, MoreSolverConfig
+from ..train.logger import configure_logging
+from .flyingshape import (
+    FlyingShapeDataset,
+    eval_matching,
+    eval_reconstruction,
+    eval_relocalization,
+)
+
+log = logging.getLogger(__name__)
+
+
+def load_solver(ckpt: str | None) -> MoreSolver:
+    model = ShapePrior(ShapePriorConfig())
+    if ckpt and ckpt.endswith(".pt"):
+        from ..models.convert import load_torch_checkpoint
+
+        params = load_torch_checkpoint(ckpt)
+    elif ckpt:
+        from flax import serialization
+
+        params = model.init_params(jax.random.PRNGKey(0))
+        with open(ckpt, "rb") as f:
+            payload = serialization.from_bytes(
+                {"params": params, "opt_state": None, "step": 0}, f.read()
+            )
+        params = payload["params"]
+    else:
+        log.warning("no checkpoint given — using random weights")
+        params = model.init_params(jax.random.PRNGKey(0))
+    return MoreSolver(model, params, MoreSolverConfig())
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--data", required=True)
+    parser.add_argument("--ckpt", default=None)
+    parser.add_argument("--tasks", default="matching,reloc")
+    parser.add_argument("--optim", action="store_true",
+                        help="SE(3) refinement during relocalization")
+    parser.add_argument("--out", default=None, help="write results json")
+    args = parser.parse_args(argv)
+
+    configure_logging()
+    dataset = FlyingShapeDataset(args.data)
+    log.info("FlyingShape: %d scenes", len(dataset))
+    solver = load_solver(args.ckpt)
+
+    results = {}
+    tasks = args.tasks.split(",")
+    if "matching" in tasks:
+        results["matching"] = eval_matching(dataset, solver)
+    if "reloc" in tasks:
+        results["relocalization"] = eval_relocalization(
+            dataset, solver, optim=args.optim
+        )
+    if "recon" in tasks:
+        results["reconstruction"] = eval_reconstruction(dataset, solver)
+    print(json.dumps(results, indent=2))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
