@@ -67,7 +67,7 @@ class ShapePriorConfig:
                 center_pred_scale=self.center_pred_scale,
                 approx_knn=self.approx_knn,
             )
-        from ..nn.encoders import DGCNN, PointNet, VecDGCNN, VecDGCNNV2
+        from ..nn.encoders import DGCNN, PCNet, PointNet, VecDGCNN, VecDGCNNV2
 
         if self.encoder_type == "vecdgcnn":
             return VecDGCNN(
@@ -85,6 +85,8 @@ class ShapePriorConfig:
             return DGCNN(c_dim=self.c_dim, num_knn=self.num_knn)
         if self.encoder_type == "pointnet":
             return PointNet(c_dim=self.c_dim)
+        if self.encoder_type == "pcnet":
+            return PCNet(output_dim=self.c_dim)
         raise ValueError(f"unknown encoder_type {self.encoder_type}")
 
     def build_decoder(self):

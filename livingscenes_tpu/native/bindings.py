@@ -75,6 +75,9 @@ def get_lib() -> ctypes.CDLL:
     lib.kdtree_query.argtypes = [ctypes.c_void_p, f32p, i64, f32p, i32p]
     lib.kdtree_free.argtypes = [ctypes.c_void_p]
 
+    lib.voxelize_mesh.argtypes = [f32p, i64, i64p, i64, ctypes.c_int,
+                                  ctypes.c_int, ctypes.c_int, u8p]
+
     lib.inside_mesh_build.restype = ctypes.c_void_p
     lib.inside_mesh_build.argtypes = [f32p, i64, i64p, i64, ctypes.c_int]
     lib.inside_mesh_query.argtypes = [ctypes.c_void_p, f32p, i64, u8p]
@@ -169,3 +172,21 @@ def check_mesh_contains(
         return out.astype(bool)
     finally:
         lib.inside_mesh_free(handle)
+
+
+def voxelize_mesh(
+    verts: np.ndarray, faces: np.ndarray, resolution: int
+) -> np.ndarray:
+    """Surface voxelization by triangle-box overlap (replaces the
+    reference's libvoxelize). Vertices are mapped to grid coordinates over
+    their bounding box; returns a (res, res, res) bool grid."""
+    lib = get_lib()
+    v = np.asarray(verts, np.float32)
+    lo = v.min(0)
+    extent = max(float((v.max(0) - lo).max()), 1e-9)
+    grid_v = np.ascontiguousarray((v - lo) / extent * resolution, np.float32)
+    f = np.ascontiguousarray(faces, np.int64)
+    occ = np.zeros((resolution, resolution, resolution), np.uint8)
+    lib.voxelize_mesh(grid_v, len(grid_v), f, len(f), resolution,
+                      resolution, resolution, occ)
+    return occ.astype(bool)

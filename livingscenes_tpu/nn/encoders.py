@@ -173,6 +173,39 @@ class DGCNN(nn.Module):
         return scale, z_so3, z_inv
 
 
+class PCNet(nn.Module):
+    """PCN-style global feature encoder baseline (pcnet.py:9-64): two
+    point-MLP stages with a global-max bottleneck, tanh projection,
+    center/scale heads, constant z_so3 frame. LayerNorm replaces the
+    reference's BatchNorm (jit-pure; batch statistics would couple samples
+    at inference)."""
+
+    latent_dim: int = 1024
+    output_dim: int = 256
+
+    @nn.compact
+    def __call__(self, x: Array):
+        B, N, _ = x.shape
+        h = nn.Dense(128, name="fc0")(x)
+        h = jax.nn.relu(nn.LayerNorm(name="ln0")(h))
+        h = nn.Dense(256, name="fc1")(h)
+        g = jnp.max(h, axis=1, keepdims=True)
+        h = jnp.concatenate([jnp.broadcast_to(g, h.shape), h], axis=-1)
+        h = nn.Dense(512, name="fc2")(h)
+        h = jax.nn.relu(nn.LayerNorm(name="ln1")(h))
+        h = nn.Dense(self.latent_dim, name="fc3")(h)
+        feat = jnp.max(h, axis=1)
+        feat = jnp.tanh(
+            nn.LayerNorm(name="ln2")(nn.Dense(self.output_dim, name="mlp")(feat))
+        )
+        center = nn.Dense(3, name="head_centroid")(feat)[:, None, :]
+        scale = nn.Dense(1, name="head_scale")(feat)[:, 0]
+        z_so3 = jnp.broadcast_to(
+            jnp.ones((self.output_dim, 3), x.dtype), (B, self.output_dim, 3)
+        )
+        return center, scale, z_so3, feat
+
+
 class PointNet(nn.Module):
     """SAL-style PointNet ablation (pointnet.py:8-71)."""
 

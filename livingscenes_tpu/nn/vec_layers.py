@@ -321,3 +321,125 @@ class VecResBlock(nn.Module):
 def vec_mean_pool(x: Array, axis: int = -3) -> Array:
     """Mean pool over a point/neighbor axis of (..., N, C, 3)."""
     return jnp.mean(x, axis=axis)
+
+
+class VecMaxPool(nn.Module):
+    """Equivariant max / attention pooling over a point axis
+    (reference VecMaxPool, vec_layers.py:283-389).
+
+    Input (..., N, C, 3), pooled over N (axis -3). A key field k is
+    predicted (per-point linear, or the attention-style pooled mean passed
+    through a key block); with softmax_factor > 0 the SIM(3)-invariant
+    q.k similarity drives softmax attention pooling, otherwise a hard
+    argmax selects one vector per channel.
+    """
+
+    in_features: int
+    mode: str = "se3"
+    softmax_factor: float = -1.0
+    k_prediction: str = "lin"  # "lin" | "mean" (attention)
+    attention_k_blk: bool = True
+    softmax_norm_compression: str = "sigmoid"  # "sigmoid" | "exp"
+    shared_nonlinearity: bool = False
+
+    def _compress(self, x: Array) -> Array:
+        ln = jnp.linalg.norm(x, axis=-1, keepdims=True)
+        direction = x / jnp.maximum(ln, 1e-12)
+        if self.softmax_norm_compression == "sigmoid":
+            return direction * jax.nn.sigmoid(ln)
+        return direction * (1.0 - jnp.exp(-ln))
+
+    @nn.compact
+    def __call__(self, x: Array, return_weight: bool = False):
+        assert x.shape[-1] == 3
+        nonlinear_out = 1 if self.shared_nonlinearity else self.in_features
+        q = x
+        if self.k_prediction == "lin":
+            k = VecLinear(
+                self.in_features, nonlinear_out, mode=self.mode, name="lin_dir"
+            )(x)
+        elif self.k_prediction == "mean":
+            k = jnp.mean(x, axis=-3, keepdims=True)
+            if self.attention_k_blk:
+                k = VecResBlock(
+                    self.in_features,
+                    self.in_features,
+                    self.in_features,
+                    act_func=lambda v: jax.nn.leaky_relu(v, 0.2),
+                    mode=self.mode,
+                    last_activate=False,
+                    name="attention_blk",
+                )(k)
+        else:
+            raise NotImplementedError(self.k_prediction)
+        if self.mode == "se3":
+            o = VecLinear(
+                self.in_features, nonlinear_out, mode=self.mode, name="lin_ori"
+            )(x)
+            q = q - o
+            k = k - o
+        k_scale = jnp.linalg.norm(
+            jnp.mean(k, axis=-2, keepdims=True), axis=-1, keepdims=True
+        )
+        k = jnp.broadcast_to(k, q.shape)
+        k_inv = self._compress(safe_divide(k, k_scale))
+
+        if self.softmax_factor > 0.0:
+            q_inv = self._compress(safe_divide(q, k_scale))
+            sim = jnp.mean(q_inv * k_inv, axis=-1, keepdims=True)
+            w = jax.nn.softmax(self.softmax_factor * sim, axis=-3)
+            out = jnp.sum(x * w, axis=-3)
+            return (out, w) if return_weight else out
+        # hard max pool on the parallel-component length
+        q_para = jnp.sum(q * k_inv, axis=-1)  # (..., N, C)
+        sel = jnp.argmax(q_para, axis=-2)  # (..., C)
+        out = jnp.take_along_axis(x, sel[..., None, :, None], axis=-3)[
+            ..., 0, :, :
+        ]
+        return (out, None) if return_weight else out
+
+
+class VecMaxPoolV2(nn.Module):
+    """v2 pooling: channel-wise normalization factors out scale — no
+    safe_divide needed (reference VecMaxPoolV2, vec_layers.py:392-485)."""
+
+    in_features: int
+    mode: str = "se3"
+    softmax_factor: float = -1.0
+    attention_k_blk: bool = True
+
+    @nn.compact
+    def __call__(self, x: Array, return_weight: bool = False):
+        assert x.shape[-1] == 3
+        q = x
+        k = jnp.mean(x, axis=-3, keepdims=True)
+        if self.attention_k_blk:
+            k = VecResBlock(
+                self.in_features,
+                self.in_features,
+                self.in_features,
+                act_func=lambda v: jax.nn.leaky_relu(v, 0.2),
+                mode=self.mode,
+                last_activate=False,
+                name="attention_blk",
+            )(k)
+        if self.mode == "se3":
+            o = VecLinear(
+                self.in_features, self.in_features, mode=self.mode,
+                name="lin_ori",
+            )(k)
+            q = q - o
+            k = k - o
+        k_inv = channel_equi_vec_normalize(k)
+        if self.softmax_factor > 0.0:
+            q_inv = channel_equi_vec_normalize(q)
+            sim = jnp.mean(q_inv * k_inv, axis=-1, keepdims=True)
+            w = jax.nn.softmax(self.softmax_factor * sim, axis=-3)
+            out = jnp.sum(x * w, axis=-3)
+            return (out, w) if return_weight else out
+        q_para = jnp.sum(q * jnp.broadcast_to(k_inv, q.shape), axis=-1)
+        sel = jnp.argmax(q_para, axis=-2)
+        out = jnp.take_along_axis(x, sel[..., None, :, None], axis=-3)[
+            ..., 0, :, :
+        ]
+        return (out, None) if return_weight else out

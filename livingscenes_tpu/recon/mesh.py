@@ -40,11 +40,22 @@ class Mesh:
         e2 = v[f[:, 2]] - v[f[:, 0]]
         return 0.5 * np.linalg.norm(np.cross(e1, e2), axis=-1)
 
-    def sample_surface(self, n: int, seed: int = 0) -> np.ndarray:
+    def face_normals(self) -> np.ndarray:
+        v = self.vertices
+        f = self.faces
+        n = np.cross(v[f[:, 1]] - v[f[:, 0]], v[f[:, 2]] - v[f[:, 0]])
+        return n / np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+
+    def sample_surface(
+        self, n: int, seed: int = 0, return_normals: bool = False
+    ):
         """Uniform area-weighted surface sampling (replaces
         trimesh.sample.sample_surface used at evaluate.py:24)."""
         if self.is_empty:
-            return np.zeros((n, 3), self.vertices.dtype)
+            pts = np.zeros((n, 3), self.vertices.dtype)
+            if return_normals:
+                return pts, np.zeros((n, 3), self.vertices.dtype)
+            return pts
         rng = np.random.default_rng(seed)
         areas = self.face_areas()
         total = areas.sum()
@@ -59,7 +70,10 @@ class Mesh:
         u = np.where(flip, 1.0 - u, u)
         v = np.where(flip, 1.0 - v, v)
         tri = self.vertices[self.faces[fidx]]
-        return tri[:, 0] + u * (tri[:, 1] - tri[:, 0]) + v * (tri[:, 2] - tri[:, 0])
+        pts = tri[:, 0] + u * (tri[:, 1] - tri[:, 0]) + v * (tri[:, 2] - tri[:, 0])
+        if return_normals:
+            return pts, self.face_normals()[fidx]
+        return pts
 
     def export_obj(self, path: str) -> None:
         with open(path, "w") as f:
