@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import logging
 import time
 from typing import Any, Dict, Iterator, Optional
 
@@ -58,6 +59,11 @@ class TrainerConfig:
     seed: int = 12345
     select_metric: str = "iou"
     select_larger: bool = True
+    # visualize one val sample every N iters (0 = off): reconstructed mesh
+    # to OBJ + input/mesh renders to PNG (the reference's mesh/image logger
+    # role, logger_meta/mesh_logger.py:36-75 / image_logger.py).
+    viz_iter_interval: int = 0
+    viz_mesh_resolution: int = 32
 
 
 def make_lr_schedule(cfg: TrainerConfig):
@@ -239,11 +245,59 @@ class Trainer:
                     }
                     self.logger.log_metrics("val", step, mean)
                     self._maybe_select(state, mean)
+            if (
+                cfg.viz_iter_interval > 0
+                and step % cfg.viz_iter_interval == 0
+                and val_iter_factory is not None
+            ):
+                try:
+                    self.visualize_sample(state, next(val_iter_factory()), step)
+                except Exception as e:  # viz must never kill training
+                    self.logger.log_metrics(
+                        "viz_error", step, {}
+                    )
+                    logging.getLogger(__name__).warning("viz failed: %s", e)
             if cfg.checkpoint_iter > 0 and step % cfg.checkpoint_iter == 0:
                 self.save_checkpoint(state, tag=str(step))
                 self.save_checkpoint(state, tag="latest")
         self.save_checkpoint(state, tag="latest")
         return state
+
+    def visualize_sample(self, state: TrainState, batch, step: int):
+        """Reconstruct + render the first sample of a val batch: OBJ mesh +
+        PNG renders into <log_dir>/viz (mesh/image logger role)."""
+        import jax.numpy as jnp
+
+        from ..recon.extractor import MeshExtractor, MeshExtractorConfig
+        from ..utils.viz import render_mesh_image, render_pointcloud_image, write_png
+
+        inputs = jnp.asarray(batch["inputs"][:1])
+        codes, _, _ = self.model._encode_training(
+            state.params, inputs, None, train=False
+        )
+        extractor = MeshExtractor(
+            lambda q, c: self.model.prior.occupancy_logits(state.params, q, c),
+            MeshExtractorConfig(
+                resolution0=self.cfg.viz_mesh_resolution,
+                upsampling_steps=0,
+                simplify_nfaces=None,
+            ),
+        )
+        from ..models.shape_prior import slice_codes
+
+        mesh = extractor.generate_from_codes(slice_codes(codes, 0))
+        viz_dir = os.path.join(self.cfg.log_dir, "viz")
+        os.makedirs(viz_dir, exist_ok=True)
+        if not mesh.is_empty:
+            mesh.export_obj(os.path.join(viz_dir, f"recon_{step}.obj"))
+            write_png(
+                os.path.join(viz_dir, f"recon_{step}.png"),
+                render_mesh_image(mesh, size=256),
+            )
+        write_png(
+            os.path.join(viz_dir, f"input_{step}.png"),
+            render_pointcloud_image([np.asarray(inputs[0])], size=256),
+        )
 
     # ------------------------------------------------------------------
     def _ckpt_dir(self):

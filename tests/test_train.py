@@ -185,3 +185,13 @@ def test_update_recursive_no_aliasing():
     update_recursive(dst, src)
     src["a"]["c"].append(3)
     assert dst["a"]["c"] == [1, 2]
+
+
+def test_viz_sample_writes_outputs(tmp_path):
+    trainer = make_trainer(tmp_path, viz_iter_interval=5, eval_every_iter=100)
+    state = trainer.init_state()
+    ds = make_dataset()
+    it = batch_iterator(ds, 4, seed=0)
+    trainer.visualize_sample(state, next(it), step=1)
+    viz = os.path.join(trainer.cfg.log_dir, "viz")
+    assert os.path.exists(os.path.join(viz, "input_1.png"))
