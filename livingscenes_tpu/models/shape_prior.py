@@ -41,6 +41,7 @@ class ShapePriorConfig:
     center_pred: bool = True
     center_pred_scale: bool = True
     approx_knn: bool = True
+    mixed_precision: bool = False
     encoder_type: str = "vecdgcnn_atten"
     decoder_type: str = "inner_deepsdf"
     decoder_dims: tuple = (768,) * 8
@@ -66,6 +67,7 @@ class ShapePriorConfig:
                 center_pred=self.center_pred,
                 center_pred_scale=self.center_pred_scale,
                 approx_knn=self.approx_knn,
+                mixed_precision=self.mixed_precision,
             )
         from ..nn.encoders import DGCNN, PCNet, PointNet, VecDGCNN, VecDGCNNV2
 

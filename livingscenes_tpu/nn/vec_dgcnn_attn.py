@@ -59,6 +59,9 @@ class VecDGCNNAttn(nn.Module):
     # TPU); neighbor aggregation is order-invariant so the graph tolerates
     # the approximation. Set False for bit-exact parity runs.
     approx_knn: bool = True
+    # bf16 matmuls (f32 accumulate) in the per-edge convolutions — the
+    # FLOP/traffic-dominant layers; heads and conv_c stay f32.
+    mixed_precision: bool = False
 
     def _knn_idx(
         self,
@@ -144,15 +147,18 @@ class VecDGCNNAttn(nn.Module):
 
             if i < self.atten_start_layer:
                 msg = VecLNA(
-                    e_in, c_out, act_func=act, mode="so3", name=f"V_{i}"
+                    e_in, c_out, act_func=act, mode="so3", name=f"V_{i}",
+                    mm_bf16=self.mixed_precision,
                 )(edge)
                 dst_f = jnp.mean(msg, axis=2)  # mean over K
             else:
                 k_feat = VecLNA(
-                    e_in, c_out, act_func=act, mode="so3", name=f"K_{i}"
+                    e_in, c_out, act_func=act, mode="so3", name=f"K_{i}",
+                    mm_bf16=self.mixed_precision,
                 )(edge)
                 v_feat = VecLNA(
-                    e_in, c_out, act_func=act, mode="so3", name=f"V_{i}"
+                    e_in, c_out, act_func=act, mode="so3", name=f"V_{i}",
+                    mm_bf16=self.mixed_precision,
                 )(edge)
                 q_feat = VecLNA(
                     c_in, c_out, act_func=act, mode="so3", name=f"Q_{i}"

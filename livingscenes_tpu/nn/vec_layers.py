@@ -73,6 +73,10 @@ class VecLinear(nn.Module):
     mode: str = "se3"
     s2v_normalized_scale: bool = True
     cross: bool = False
+    # Run the channel-mixing matmul in bfloat16 with float32 accumulation
+    # (MXU-native). Equivariance is preserved structurally; rounding noise
+    # is per-matmul only (no bf16 compounding through norms/activations).
+    mm_bf16: bool = False
 
     @property
     def se3(self) -> bool:
@@ -101,7 +105,15 @@ class VecLinear(nn.Module):
             if self.se3:
                 last = 1.0 - jnp.sum(W, axis=-1, keepdims=True)
                 W = jnp.concatenate([W, last], axis=-1)
-            v_out = jnp.einsum("oc,...ci->...oi", W, v)
+            if self.mm_bf16 and v.dtype == jnp.float32:
+                v_out = jnp.einsum(
+                    "oc,...ci->...oi",
+                    W.astype(jnp.bfloat16),
+                    v.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
+                )
+            else:
+                v_out = jnp.einsum("oc,...ci->...oi", W, v)
 
         if self.s_in > 0 and self.v_out > 0:
             assert s is not None, "missing scalar input"
@@ -116,7 +128,8 @@ class VecLinear(nn.Module):
 
         if self.v_out > 0 and self.cross:
             v_dual = VecLinear(
-                self.v_in, self.v_out, mode=self.mode, name="v_out_cross"
+                self.v_in, self.v_out, mode=self.mode, name="v_out_cross",
+                mm_bf16=self.mm_bf16,
             )(v)
             if self.se3:
                 dual_o = jnp.mean(v_dual, axis=-2, keepdims=True)
@@ -128,7 +141,8 @@ class VecLinear(nn.Module):
                 v_cross = jnp.cross(channel_equi_vec_normalize(v_dual), v_out)
             v_cross = v_cross + v_out
             v_out = VecLinear(
-                self.v_out * 2, self.v_out, mode=self.mode, name="v_out_cross_fc"
+                self.v_out * 2, self.v_out, mode=self.mode,
+                name="v_out_cross_fc", mm_bf16=self.mm_bf16,
             )(jnp.concatenate([v_cross, v_out], axis=-2))
 
         if self.s_out > 0:
@@ -168,6 +182,7 @@ class VecActivation(nn.Module):
     shared_nonlinearity: bool = False
     mode: str = "se3"
     cross: bool = False
+    mm_bf16: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -176,12 +191,12 @@ class VecActivation(nn.Module):
         q = x
         k = VecLinear(
             self.in_features, nonlinear_out, mode=self.mode,
-            cross=self.cross, name="lin_dir",
+            cross=self.cross, name="lin_dir", mm_bf16=self.mm_bf16,
         )(x)
         if self.mode == "se3":
             o = VecLinear(
                 self.in_features, nonlinear_out, mode=self.mode,
-                cross=self.cross, name="lin_ori",
+                cross=self.cross, name="lin_ori", mm_bf16=self.mm_bf16,
             )(x)
             q = q - o
             k = k - o
@@ -206,6 +221,7 @@ class VecLNA(nn.Module):
     shared_nonlinearity: bool = False
     mode: str = "se3"
     cross: bool = False
+    mm_bf16: bool = False
 
     @nn.compact
     def __call__(self, v: Array, s: Optional[Array] = None):
@@ -217,6 +233,7 @@ class VecLNA(nn.Module):
             mode=self.mode,
             cross=self.cross,
             name="lin",
+            mm_bf16=self.mm_bf16,
         )
         act = VecActivation(
             self.out_features,
@@ -225,6 +242,7 @@ class VecLNA(nn.Module):
             self.mode,
             cross=self.cross,
             name="act",
+            mm_bf16=self.mm_bf16,
         )
         if self.s_out_features > 0:
             v_out, s_out = lin(v, s)

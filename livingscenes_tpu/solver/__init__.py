@@ -14,6 +14,7 @@ from .registration import (
 )
 from .code_optim import CodeOptimConfig, optimize_codes
 from .more import MoreSolver, MoreSolverConfig
+from .joint import JointResult, accumulate_and_optimize
 
 __all__ = [
     "sequential_matcher",
@@ -30,4 +31,6 @@ __all__ = [
     "optimize_codes",
     "MoreSolver",
     "MoreSolverConfig",
+    "JointResult",
+    "accumulate_and_optimize",
 ]

@@ -263,6 +263,30 @@ class Trainer:
         self.save_checkpoint(state, tag="latest")
         return state
 
+    def run_epochs(
+        self,
+        state: TrainState,
+        dataset,
+        epochs: int,
+        val_dataset=None,
+        shuffle_seed: int = 0,
+    ) -> TrainState:
+        """Epoch-oriented convenience wrapper (the reference's v1 solver
+        mode, core/solver.py:119-145): `epochs` passes over `dataset`."""
+        from .data import batch_iterator
+
+        steps_per_epoch = max(1, len(dataset) // self.cfg.batch_size)
+        total = state.step + epochs * steps_per_epoch
+        train_it = batch_iterator(
+            dataset, self.cfg.batch_size, seed=shuffle_seed
+        )
+        val_factory = (
+            (lambda: batch_iterator(val_dataset, self.cfg.batch_size, seed=1))
+            if val_dataset is not None
+            else None
+        )
+        return self.run(state, train_it, val_factory, total_iter=total)
+
     def visualize_sample(self, state: TrainState, batch, step: int):
         """Reconstruct + render the first sample of a val batch: OBJ mesh +
         PNG renders into <log_dir>/viz (mesh/image logger role)."""
