@@ -48,11 +48,21 @@ def get_shapenet_category(rio_label: str) -> str:
 
 def heterogeneous_batching(
     pc_list: List[np.ndarray],
+    point_bucket: int = 1,
+    batch_bucket: int = 1,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Pad variable-length clouds (Ni, 3) into (B, Nmax, 3) + bool mask
-    (eval_3rscan.py:78-95 with fixed max-N padding)."""
+    """Pad variable-length clouds (Ni, 3) into (B', Nmax', 3) + bool mask
+    (eval_3rscan.py:78-95 with fixed max-N padding).
+
+    `point_bucket` / `batch_bucket` round Nmax and B up to bucket
+    multiples so jitted downstream programs see only a few distinct shapes
+    across a dataset (bounding recompilation — the reference pays no
+    compile cost but loops in Python instead). Padded rows have all-False
+    masks.
+    """
     max_n = max(len(pc) for pc in pc_list)
-    B = len(pc_list)
+    max_n = -(-max_n // point_bucket) * point_bucket
+    B = -(-len(pc_list) // batch_bucket) * batch_bucket
     out = np.zeros((B, max_n, 3), np.float32)
     mask = np.zeros((B, max_n), bool)
     for i, pc in enumerate(pc_list):
@@ -63,14 +73,24 @@ def heterogeneous_batching(
 
 @dataclasses.dataclass
 class ScanInstances:
-    pc: np.ndarray  # (B, Nmax, 3)
-    pc_mask: np.ndarray  # (B, Nmax)
-    object_id: np.ndarray  # (B,)
+    pc: np.ndarray  # (B', Nmax', 3) — bucket-padded; see heterogeneous_batching
+    pc_mask: np.ndarray  # (B', Nmax')
+    object_id: np.ndarray  # (n_valid,)
     full_object_id: np.ndarray  # ids incl. too-small instances
     id_label: List[Tuple[int, str, str]]
     moving_ids: Optional[np.ndarray] = None
     static_ids: Optional[np.ndarray] = None
     rescan2ref_tsfm: Optional[np.ndarray] = None
+
+    @property
+    def n_valid(self) -> int:
+        return len(self.object_id)
+
+    @property
+    def row_mask(self) -> np.ndarray:
+        m = np.zeros(self.pc.shape[0], bool)
+        m[: self.n_valid] = True
+        return m
 
 
 class Dataset3RScan:
@@ -86,6 +106,8 @@ class Dataset3RScan:
         use_gt_mask: bool = True,
         mask_name: Optional[str] = None,
         min_points: int = 1024,
+        point_bucket: int = 4096,
+        batch_bucket: int = 4,
     ):
         self.root = root_path
         self.split = split
@@ -95,6 +117,8 @@ class Dataset3RScan:
         self.use_gt_mask = use_gt_mask
         self.mask_name = mask_name
         self.min_points = min_points
+        self.point_bucket = point_bucket
+        self.batch_bucket = batch_bucket
 
         split_file = osp.join(root_path, "..", f"splits/{split}.txt")
         if osp.exists(split_file):
@@ -137,7 +161,9 @@ class Dataset3RScan:
             )
         if not pc_list:
             return None
-        pc, mask = heterogeneous_batching(pc_list)
+        pc, mask = heterogeneous_batching(
+            pc_list, self.point_bucket, self.batch_bucket
+        )
         return ScanInstances(
             pc=pc,
             pc_mask=mask,
@@ -242,10 +268,15 @@ def eval_matching(
             rescan_codes = solver.encode_instances(
                 jnp.asarray(rescan.pc), jnp.asarray(rescan.pc_mask)
             )
+            import jax.numpy as _jnp
+
             matches = solver.solve_object_matching(
-                ref_codes, rescan_codes, method
+                ref_codes, rescan_codes, method,
+                src_mask=_jnp.asarray(ref.row_mask),
+                tgt_mask=_jnp.asarray(rescan.row_mask),
             )
-            m0 = np.asarray(matches["matches0"])
+            m0 = np.asarray(matches["matches0"])[: ref.n_valid]
+            m0 = np.where(m0 < rescan.n_valid, m0, -1)
             matched_ids = rescan.object_id[np.where(m0 >= 0, m0, 0)]
             matched_ids = np.where(m0 >= 0, matched_ids, -1)
 

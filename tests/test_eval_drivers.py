@@ -219,7 +219,10 @@ def test_3rscan_dataset_reader(rescan_dir):
     assert len(ds) == 1
     ref, rescans = ds.get_scene(0)
     assert ref is not None
-    assert ref.pc.shape[0] == N_OBJ
+    assert ref.n_valid == N_OBJ
+    # bucket padding: batch rounded up, padded rows masked out
+    assert ref.pc.shape[0] % 4 == 0
+    assert not ref.pc_mask[ref.n_valid:].any()
     assert len(rescans) == 1
     rescan, sg = rescans[0]
     # all objects moved -> all dynamic
