@@ -325,8 +325,14 @@ def eval_matching(
 def eval_relocalization(
     dataset: Dataset3RScan, solver: MoreSolver, optim: bool = True
 ) -> Dict[str, float]:
-    """Instance relocalization errors (eval_3rscan.py:337-460)."""
+    """Instance relocalization errors (eval_3rscan.py:337-460).
+
+    All rigid pairs of a scan pair are FPS-downsampled and registered in
+    ONE batched call (the reference loops a 400-step optimizer per pair)."""
+    from ..ops.fps import farthest_point_sampling
+
     rre_list, rte_list, tsfm_err_list, cd_lst = [], [], [], []
+    k = solver.cfg.n_input_point
     for i_s in range(len(dataset)):
         ref, rescans = dataset.get_scene(i_s)
         if ref is None:
@@ -336,6 +342,8 @@ def eval_relocalization(
             # move the rescan into its own (pre-alignment) frame
             inv = np.asarray(se3.inverse(jnp.asarray(scene_tsfm[None])))[0]
             pc_t = rescan.pc @ inv[:3, :3].T + inv[:3, 3]
+
+            pairs = []  # (p1_points, p2_points, gt_4x4, symmetry)
             for rigid in sg.get("rigid", []):
                 if (
                     rigid["instance_reference"] not in ref.object_id
@@ -343,51 +351,63 @@ def eval_relocalization(
                 ):
                     continue
                 gt = (
-                    np.asarray(rigid["transform"], np.float64)
-                    .reshape(4, 4)
-                    .T
+                    np.asarray(rigid["transform"], np.float64).reshape(4, 4).T
                 )
-                ri = int(np.where(ref.object_id == rigid["instance_reference"])[0][0])
-                si = int(np.where(rescan.object_id == rigid["instance_rescan"])[0][0])
-                p1 = ref.pc[ri][ref.pc_mask[ri]]
-                p2 = pc_t[si][rescan.pc_mask[si]]
-                pad = max(len(p1), len(p2))
-                pc1, m1 = heterogeneous_batching([p1])
-                pc2, m2 = heterogeneous_batching([p2])
-                from ..ops.fps import farthest_point_sampling
+                ri = int(
+                    np.where(ref.object_id == rigid["instance_reference"])[0][0]
+                )
+                si = int(
+                    np.where(rescan.object_id == rigid["instance_rescan"])[0][0]
+                )
+                pairs.append(
+                    (
+                        ref.pc[ri][ref.pc_mask[ri]],
+                        pc_t[si][rescan.pc_mask[si]],
+                        gt,
+                        rigid.get("symmetry", 0),
+                    )
+                )
+            if not pairs:
+                continue
 
-                k = solver.cfg.n_input_point
-                pc1s, _ = farthest_point_sampling(
-                    jnp.asarray(pc1), k, mask=jnp.asarray(m1)
-                )
-                pc2s, _ = farthest_point_sampling(
-                    jnp.asarray(pc2), k, mask=jnp.asarray(m2)
-                )
-                R, t = solver.solve_pairwise_registration(
-                    pc1s, pc2s, optim=optim
-                )
-                rre = float(
-                    se3.rotation_error(R, jnp.asarray(gt[None, :3, :3]))[0]
-                )
-                rte = float(
-                    np.linalg.norm(np.asarray(t)[0, :, 0] - gt[:3, 3])
-                )
-                sym = rigid.get("symmetry", 0)
+            pc1_pad, m1 = heterogeneous_batching(
+                [p[0] for p in pairs], dataset.point_bucket, dataset.batch_bucket
+            )
+            pc2_pad, m2 = heterogeneous_batching(
+                [p[1] for p in pairs], dataset.point_bucket, dataset.batch_bucket
+            )
+            pc1s, _ = farthest_point_sampling(
+                jnp.asarray(pc1_pad), k, mask=jnp.asarray(m1)
+            )
+            pc2s, _ = farthest_point_sampling(
+                jnp.asarray(pc2_pad), k, mask=jnp.asarray(m2)
+            )
+            R, t = solver.solve_pairwise_registration(pc1s, pc2s, optim=optim)
+            gt_all = jnp.asarray(
+                np.stack([p[2] for p in pairs]).astype(np.float32)
+            )
+            P = len(pairs)
+            rre_all = np.asarray(
+                se3.rotation_error(R[:P], gt_all[:, :3, :3])
+            )
+            pred_all = se3.rt_to_se3(R, t)
+            for i, (p1, p2, gt, sym) in enumerate(pairs):
+                rre = float(rre_all[i])
+                rte = float(np.linalg.norm(np.asarray(t)[i, :, 0] - gt[:3, 3]))
                 if sym == 1:
                     rre = min(rre, abs(180 - rre))
                 elif sym == 2:
                     rre = min(rre, abs(180 - rre), abs(90 - rre))
-                pred = np.asarray(se3.rt_to_se3(R, t))[0]
                 tsfm_err = float(
                     se3.compute_transformation_error(
-                        pc1s, pc2s, jnp.asarray(pred[None]),
-                        jnp.asarray(gt[None]),
+                        pc1s[i : i + 1], pc2s[i : i + 1],
+                        pred_all[i : i + 1], gt_all[i : i + 1],
                     )
                 )
                 cd = float(
                     se3.chamfer_distance_under_transforms(
-                        pc1s[:, ::10], pc2s[:, ::10],
-                        jnp.asarray(pred[None]), jnp.asarray(gt[None]),
+                        pc1s[i : i + 1, ::10], pc2s[i : i + 1, ::10],
+                        pred_all[i : i + 1], gt_all[i : i + 1],
                     )[0]
                 )
                 rre_list.append(rre)

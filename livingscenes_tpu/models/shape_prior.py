@@ -12,7 +12,7 @@ per-instance Python loops of the reference become `vmap`/batched calls.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

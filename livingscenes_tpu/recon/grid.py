@@ -21,7 +21,6 @@ native isosurface extraction (recon/extractor.py).
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable
 
 import jax

@@ -13,7 +13,6 @@ unmatched, exactly like the reference.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Dict, Optional
 
 import jax

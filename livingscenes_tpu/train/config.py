@@ -11,7 +11,6 @@ model_utils.py:276-278).
 from __future__ import annotations
 
 import copy
-import json
 import os
 import shutil
 from typing import Any, Dict, List, Optional

@@ -237,6 +237,14 @@ def test_3rscan_matching(rescan_dir, solver):
     assert res["dynamic_recall"] == 100.0
 
 
+def test_3rscan_relocalization(rescan_dir, solver):
+    from livingscenes_tpu.eval.rescan3r import eval_relocalization
+    ds = Dataset3RScan(rescan_dir, min_points=10, point_bucket=256, batch_bucket=2)
+    res = eval_relocalization(ds, solver, optim=False)
+    assert res["recall_rre10"] == 100.0
+    assert res["median_rre"] < 2.0
+
+
 def test_heterogeneous_batching():
     pcs = [np.ones((5, 3)), np.ones((9, 3))]
     pc, mask = heterogeneous_batching(pcs)
