@@ -106,6 +106,75 @@ class EdgeVecLNA(nn.Module):
         return q - q_para * k_dir + k_dir * self.act_func(q_para)
 
 
+class _LNAWeights(nn.Module):
+    """Parameter holder matching VecLNA's tree: lin/weight (c_out, 2c_in)
+    and act/lin_dir/weight (c_out, c_out)."""
+
+    c_in: int
+    c_out: int
+
+    @nn.compact
+    def __call__(self):
+        W = _Weight(self.c_out, 2 * self.c_in, 2 * self.c_in, name="lin")()
+        D = _ActScope(self.c_out, name="act")()
+        return W, D
+
+
+def _so3_activation(y: Array, k: Array, act_func) -> Array:
+    """VecActivation body (vec_layers.py:261-265) on precomputed q=y, k."""
+    k_dir = k / jnp.maximum(jnp.linalg.norm(k, axis=-1, keepdims=True), 1e-12)
+    q_para = jnp.sum(y * k_dir, axis=-1, keepdims=True)
+    return y - q_para * k_dir + k_dir * act_func(q_para)
+
+
+def fused_edge_kv(
+    nn_f: Array,
+    dst_f: Array,
+    W_K: Array,
+    D_K: Array,
+    W_V: Array,
+    D_V: Array,
+    act_func: Callable[[Array], Array],
+):
+    """K- and V-branch edge convs of an attention layer in one pass.
+
+    Equivalent to two `VecLNA(2*c_in, c_out)` calls on the materialized
+    [nn - dst, dst] edge tensor (the reference's K_list[i]/V_list[i] convs,
+    vec_dgcnn_atten.py:206-208), but:
+
+    * the (B, N, K, 2C, 3) edge concat is never materialized — the linear
+      splits as W @ [nn - dst, dst] = W_l @ nn + (W_r - W_l) @ dst, where
+      the dst half has no K axis,
+    * the K and V branch weights stack into ONE (2*c_out, c_in) matmul over
+      the gathered neighbor tensor, halving passes over the biggest array.
+
+    nn_f: (B, N, K, C, 3) gathered neighbors; dst_f: (B, N, C, 3);
+    W_K/W_V: (c_out, 2*c_in) VecLNA lin weights; D_K/D_V: (c_out, c_out)
+    activation direction weights. Returns (k_feat, v_feat).
+    """
+    c_in = dst_f.shape[-2]
+    c_out = W_K.shape[0]
+    W_l = jnp.concatenate([W_K[:, :c_in], W_V[:, :c_in]], axis=0)
+    W_delta = jnp.concatenate(
+        [
+            W_K[:, c_in:] - W_K[:, :c_in],
+            W_V[:, c_in:] - W_V[:, :c_in],
+        ],
+        axis=0,
+    )
+    y = jnp.einsum("oc,bnkci->bnkoi", W_l, nn_f) + jnp.einsum(
+        "oc,bnci->bnoi", W_delta, dst_f
+    )[:, :, None]
+    y_k, y_v = y[..., :c_out, :], y[..., c_out:, :]
+    k_feat = _so3_activation(
+        y_k, jnp.einsum("oc,bnkci->bnkoi", D_K, y_k), act_func
+    )
+    v_feat = _so3_activation(
+        y_v, jnp.einsum("oc,bnkci->bnkoi", D_V, y_v), act_func
+    )
+    return k_feat, v_feat
+
+
 class GlobalResVecLNA(nn.Module):
     """VecLNA specialized to [f, broadcast(global)] inputs.
 

@@ -27,7 +27,8 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.fps import farthest_point_sampling
-from ..ops.knn import knn
+from ..ops.knn import gather_neighbors_onehot, knn
+from .edge_conv import _LNAWeights, fused_edge_kv
 from .vec_layers import VecLNA, VecLinear, VecResBlock, channel_equi_vec_normalize
 
 Array = jax.Array
@@ -62,6 +63,15 @@ class VecDGCNNAttn(nn.Module):
     # bf16 matmuls (f32 accumulate) in the per-edge convolutions — the
     # FLOP/traffic-dominant layers; heads and conv_c stay f32.
     mixed_precision: bool = False
+    # Compute the attention layers' K/V edge convs via the fused split-
+    # linear path (nn/edge_conv.fused_edge_kv): skips the (B,N,K,2C,3)
+    # concat and halves passes over the gathered tensor. Numerically
+    # equivalent (float reassociation only); same parameter tree.
+    fused_kv: bool = True
+    # Route neighbor gathers through a one-hot matmul (MXU) instead of
+    # XLA's slow TPU gather (~3.5x, f32-rounding-exact). Set False for
+    # bit-exact gathers.
+    matmul_gather: bool = True
 
     def _knn_idx(
         self,
@@ -130,19 +140,28 @@ class VecDGCNNAttn(nn.Module):
                 src_f, dst_f, self.num_knn, src_xyz, dst_xyz
             )  # (B, N_dst, K)
 
-            # One gather of the raw source features per layer; the edge
-            # tensor feeds all edge convs of the layer. (A fused
-            # gather-after-matmul variant — nn/edge_conv.py — was measured
-            # slower on v5e: XLA's 5-D gathers, not the matmuls, dominate,
-            # and the fused form needs 2-4 gathers per layer.)
+            # One gather of the raw source features per layer. (A fused
+            # gather-after-matmul variant was measured slower on v5e:
+            # XLA's 5-D gathers, not the matmuls, dominate, and that form
+            # needs 2-4 gathers per layer.)
+            nn_f = None
             if i == 0:
                 edge = self._layer0_edge(src_f, dst_f, idx)
             else:
-                nn_f = jnp.take_along_axis(
-                    src_f[:, None], idx[..., None, None], axis=2
-                )
-                dst_pad = jnp.broadcast_to(dst_f[:, :, None], nn_f.shape)
-                edge = jnp.concatenate([nn_f - dst_pad, dst_pad], axis=-2)
+                if self.matmul_gather:
+                    Bc, Nsrc, Cc, _ = src_f.shape
+                    nn_f = gather_neighbors_onehot(
+                        src_f.reshape(Bc, Nsrc, Cc * 3), idx
+                    ).reshape(Bc, idx.shape[1], idx.shape[2], Cc, 3)
+                else:
+                    nn_f = jnp.take_along_axis(
+                        src_f[:, None], idx[..., None, None], axis=2
+                    )
+                if not (self.fused_kv and i >= self.atten_start_layer):
+                    dst_pad = jnp.broadcast_to(dst_f[:, :, None], nn_f.shape)
+                    edge = jnp.concatenate(
+                        [nn_f - dst_pad, dst_pad], axis=-2
+                    )
             e_in = c_in * (3 if i == 0 else 2)
 
             if i < self.atten_start_layer:
@@ -152,14 +171,21 @@ class VecDGCNNAttn(nn.Module):
                 )(edge)
                 dst_f = jnp.mean(msg, axis=2)  # mean over K
             else:
-                k_feat = VecLNA(
-                    e_in, c_out, act_func=act, mode="so3", name=f"K_{i}",
-                    mm_bf16=self.mixed_precision,
-                )(edge)
-                v_feat = VecLNA(
-                    e_in, c_out, act_func=act, mode="so3", name=f"V_{i}",
-                    mm_bf16=self.mixed_precision,
-                )(edge)
+                if self.fused_kv:
+                    W_K, D_K = _LNAWeights(c_in, c_out, name=f"K_{i}")()
+                    W_V, D_V = _LNAWeights(c_in, c_out, name=f"V_{i}")()
+                    k_feat, v_feat = fused_edge_kv(
+                        nn_f, dst_f, W_K, D_K, W_V, D_V, act
+                    )
+                else:
+                    k_feat = VecLNA(
+                        e_in, c_out, act_func=act, mode="so3", name=f"K_{i}",
+                        mm_bf16=self.mixed_precision,
+                    )(edge)
+                    v_feat = VecLNA(
+                        e_in, c_out, act_func=act, mode="so3", name=f"V_{i}",
+                        mm_bf16=self.mixed_precision,
+                    )(edge)
                 q_feat = VecLNA(
                     c_in, c_out, act_func=act, mode="so3", name=f"Q_{i}"
                 )(dst_f)
