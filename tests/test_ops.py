@@ -126,3 +126,25 @@ def test_sinkhorn_divergence_batched(rng):
     y = jnp.asarray(rng.normal(size=(2, 32, 3)))
     d = sinkhorn_divergence(x, y)
     assert d.shape == (2,)
+
+
+def test_gather_neighbors_onehot_matches_native(rng):
+    from livingscenes_tpu.ops.knn import gather_neighbors, gather_neighbors_onehot
+
+    feats = jnp.asarray(rng.normal(size=(3, 40, 24)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, 40, size=(3, 17, 5)), jnp.int32)
+    a = gather_neighbors(feats, idx)
+    b = gather_neighbors_onehot(feats, idx)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_pallas_fps_interpret_matches_xla(rng):
+    from livingscenes_tpu.ops.pallas_fps import fps_pallas
+
+    pts = jnp.asarray(rng.normal(size=(8, 64, 3)), jnp.float32)
+    _, i_ref = farthest_point_sampling(pts, 16)
+    _, i_pl = fps_pallas(pts, 16, interpret=True)
+    np.testing.assert_array_equal(np.asarray(i_pl), np.asarray(i_ref))
+    mask = jnp.ones((8, 64), bool).at[:, 48:].set(False)
+    _, mi = fps_pallas(pts, 8, mask, interpret=True)
+    assert int(np.asarray(mi).max()) < 48

@@ -118,3 +118,18 @@ def test_vec_linear_cross(rng):
 
 def test_vec_resblock_same_channels_shortcut(rng):
     check_equivariance(VecResBlock(C, C, C, act_func=ACT, mode="se3"), rng, "se3")
+
+
+def test_mm_bf16_preserves_equivariance_approximately(rng):
+    """bf16 matmuls keep structural equivariance up to bf16 rounding."""
+    module = VecLinear(C, 24, mode="so3", mm_bf16=True)
+    x = jnp.asarray(rng.normal(size=(B, N, C, 3)), jnp.float32)
+    params = module.init(jax.random.PRNGKey(0), x)
+    y = module.apply(params, x)
+    R, s, _ = random_sim3(rng, with_t=False)
+    R32 = R.astype(jnp.float32)
+    s32 = s.astype(jnp.float32)
+    y_aug = apply_sim3(y, R32, s32, jnp.zeros((B, 3), jnp.float32))
+    y_hat = module.apply(params, apply_sim3(x, R32, s32, jnp.zeros((B, 3), jnp.float32)))
+    scale = float(jnp.abs(y).max())
+    assert float(jnp.abs(y_hat - y_aug).max()) < 0.05 * scale
