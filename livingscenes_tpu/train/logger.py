@@ -62,6 +62,26 @@ class TrainLogger:
         )
         log.info("[%s %d] %s", phase, step, parts)
 
+    def log_histogram(self, phase: str, step: int, name: str, values):
+        """Histogram logging (reference hist_logger.py role): percentile
+        summary to JSONL (+ full histogram to TensorBoard if present)."""
+        import numpy as _np
+
+        v = _np.asarray(values).ravel()
+        if v.size == 0:
+            return
+        qs = _np.percentile(v, [0, 5, 25, 50, 75, 95, 100]).tolist()
+        rec = {
+            "phase": phase, "step": step, "hist": name, "time": time.time(),
+            "mean": float(v.mean()),
+            "p0": qs[0], "p5": qs[1], "p25": qs[2], "p50": qs[3],
+            "p75": qs[4], "p95": qs[5], "p100": qs[6],
+        }
+        with open(self._metrics_path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        if self._tb is not None:
+            self._tb.add_histogram(f"{phase}/{name}", v, step)
+
     def log_report(self, name: str, step: int, rows, mean_row=None):
         """Per-sample CSV report with a mean row prepended
         (xls_logger.py:61-78)."""

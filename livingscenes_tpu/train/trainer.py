@@ -64,6 +64,12 @@ class TrainerConfig:
     # role, logger_meta/mesh_logger.py:36-75 / image_logger.py).
     viz_iter_interval: int = 0
     viz_mesh_resolution: int = 32
+    # NaN/Inf anomaly mode (the reference's --anomaly forward hooks,
+    # core/solver_utils.py:5-54): loss/grad-norm are checked on the host
+    # after every step and a RuntimeError raised on non-finite values.
+    # (Full checkify instrumentation — utils.debugging.checkify_nan — has
+    # prohibitive compile cost on the 7-layer encoder.)
+    anomaly: bool = False
 
 
 def make_lr_schedule(cfg: TrainerConfig):
@@ -198,6 +204,16 @@ class Trainer:
             state.params, state.opt_state, batch, rng
         )
         state.step += 1
+        if self.cfg.anomaly:
+            bad = [
+                k
+                for k in ("batch_loss", "grad_norm")
+                if k in metrics and not np.isfinite(float(metrics[k]))
+            ]
+            if bad:
+                raise RuntimeError(
+                    f"anomaly mode: non-finite {bad} at step {state.step}"
+                )
         return metrics
 
     def val_step(self, state: TrainState, batch) -> Dict[str, Any]:

@@ -132,3 +132,31 @@ def visualize_shape_matching(
     left = render_pointcloud_image(ref_instances, ref_colors, size)
     right = render_pointcloud_image(rescan_instances, rescan_colors, size)
     return np.concatenate([left, right], axis=1)
+
+
+def visualize_registration(
+    pc_src: np.ndarray,
+    pc_tgt: np.ndarray,
+    pred_tsfm: np.ndarray,
+    gt_tsfm: Optional[np.ndarray] = None,
+    size: int = 400,
+) -> np.ndarray:
+    """Registration panels (lib_more/pose_estimation.py:235 equivalent):
+    [src | tgt], [pred(src) | tgt], and optionally [gt(src) | tgt],
+    concatenated horizontally."""
+    src = np.asarray(pc_src).reshape(-1, 3)
+    tgt = np.asarray(pc_tgt).reshape(-1, 3)
+
+    def apply(tsfm, pts):
+        t = np.asarray(tsfm)
+        return pts @ t[:3, :3].T + t[:3, 3]
+
+    panels = [
+        render_pointcloud_image([src, tgt], size=size),
+        render_pointcloud_image([apply(pred_tsfm, src), tgt], size=size),
+    ]
+    if gt_tsfm is not None:
+        panels.append(
+            render_pointcloud_image([apply(gt_tsfm, src), tgt], size=size)
+        )
+    return np.concatenate(panels, axis=1)

@@ -153,3 +153,14 @@ def test_binvox_roundtrip(tmp_path):
     np.testing.assert_array_equal(back.data, grid.data)
     np.testing.assert_allclose(back.translate, grid.translate)
     assert back.scale == grid.scale
+
+
+def test_visualize_registration_panels(rng):
+    from livingscenes_tpu.utils.viz import visualize_registration
+
+    src = rng.normal(size=(100, 3)) * 0.3
+    tgt = src + [1.0, 0, 0]
+    tsfm = np.eye(4)
+    tsfm[:3, 3] = [1.0, 0, 0]
+    img = visualize_registration(src, tgt, tsfm, tsfm, size=64)
+    assert img.shape == (64, 192, 3)

@@ -195,3 +195,32 @@ def test_viz_sample_writes_outputs(tmp_path):
     trainer.visualize_sample(state, next(it), step=1)
     viz = os.path.join(trainer.cfg.log_dir, "viz")
     assert os.path.exists(os.path.join(viz, "input_1.png"))
+
+
+def test_anomaly_mode_catches_nan(tmp_path):
+    trainer = make_trainer(tmp_path, anomaly=True)
+    state = trainer.init_state()
+    it = batch_iterator(make_dataset(), 4, seed=0)
+    batch = next(it)
+    m = trainer.train_step(state, batch)  # clean batch passes
+    assert np.isfinite(float(m["batch_loss"]))
+    bad = dict(batch)
+    bad["inputs"] = batch["inputs"].copy()
+    bad["inputs"][0, 0, 0] = np.nan
+    with pytest.raises(Exception):
+        trainer.train_step(state, bad)
+
+
+def test_logger_histogram(tmp_path):
+    from livingscenes_tpu.train.logger import TrainLogger
+
+    lg = TrainLogger(str(tmp_path))
+    lg.log_histogram("train", 3, "residuals", np.arange(100.0))
+    import json as _json
+
+    recs = [
+        _json.loads(l)
+        for l in open(tmp_path / "metrics.jsonl").read().splitlines()
+    ]
+    h = [r for r in recs if r.get("hist") == "residuals"][0]
+    assert h["p50"] == 49.5 and h["p0"] == 0.0 and h["p100"] == 99.0
