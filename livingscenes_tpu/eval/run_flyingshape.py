@@ -33,11 +33,10 @@ def load_solver(ckpt: str | None) -> MoreSolver:
     elif ckpt:
         from flax import serialization
 
-        params = model.init_params(jax.random.PRNGKey(0))
         with open(ckpt, "rb") as f:
-            payload = serialization.from_bytes(
-                {"params": params, "opt_state": None, "step": 0}, f.read()
-            )
+            # template-free restore: trainer checkpoints carry params +
+            # optimizer state + step (train/trainer.py save_checkpoint)
+            payload = serialization.msgpack_restore(f.read())
         params = payload["params"]
     else:
         log.warning("no checkpoint given — using random weights")
