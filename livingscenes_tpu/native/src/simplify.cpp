@@ -155,11 +155,15 @@ struct Simplifier {
         if (has0 && has1) continue;  // face dies with the collapse
         Vec3 a = pos[fc[0]], b = pos[fc[1]], c = pos[fc[2]];
         Vec3 before = (b - a).Cross(c - a);
+        // Degenerate (near-zero-area) faces can't define an orientation;
+        // never let them veto a collapse (marching-tetrahedra output
+        // contains many near-degenerate slivers).
+        if (before.Dot(before) < 1e-24f) continue;
         // Replace vid with p.
         Vec3 a2 = fc[0] == vid ? p : a, b2 = fc[1] == vid ? p : b,
              c2 = fc[2] == vid ? p : c;
         Vec3 after = (b2 - a2).Cross(c2 - a2);
-        if (before.Dot(after) <= 0) return true;
+        if (before.Dot(after) < 0) return true;
       }
     }
     return false;
