@@ -322,6 +322,13 @@ class ShapeNetSDFDataset:
         self.aug = aug
         self.seed = seed
 
+        if not os.path.isdir(data_root):
+            raise FileNotFoundError(
+                f"ShapeNet data root '{data_root}' not found. Preprocess "
+                "watertight meshes into it with "
+                "`python -m livingscenes_tpu.tools.preprocess` (or use "
+                "dataset_name: synthetic for procedural training data)."
+            )
         items: List[tuple] = []
         if split_csv and os.path.exists(split_csv):
             with open(split_csv) as f:
