@@ -163,15 +163,37 @@ class ShapePrior:
         params,
         pc: Array,
         mask: Optional[Array] = None,
+        n_fps: int = 1,
+        rng: Optional[Array] = None,
     ) -> Codes:
         """FPS-downsample each (padded) instance cloud to n_pcl then encode.
 
         Batched replacement for the reference's per-instance Python loop
         (model_utils.py:199-215): pc (B, N, 3) with validity mask (B, N).
+        With n_fps > 1, FPS restarts from random valid points and the
+        resulting codes are averaged (model_utils.py:205-209).
         """
         k = self.config.n_pcl
-        sampled, _ = farthest_point_sampling(pc, k, mask=mask)
-        return self.encode(params, sampled)
+        B, N, _ = pc.shape
+        if n_fps <= 1:
+            sampled, _ = farthest_point_sampling(pc, k, mask=mask)
+            return self.encode(params, sampled)
+
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        if mask is None:
+            mask = jnp.ones((B, N), bool)
+
+        def one_restart(key):
+            # random valid start point per instance (masked categorical)
+            logits = jnp.where(mask, 0.0, -jnp.inf)
+            start = jax.random.categorical(key, logits, axis=-1)
+            sampled, _ = farthest_point_sampling(
+                pc, k, mask=mask, start_idx=start
+            )
+            return self.encode(params, sampled)
+
+        codes = jax.vmap(one_restart)(jax.random.split(rng, n_fps))
+        return jax.tree.map(lambda x: jnp.mean(x, axis=0), codes)
 
     # -- field decode ------------------------------------------------------
     def invariant_query(self, query: Array, codes: Codes) -> Array:

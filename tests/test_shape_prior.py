@@ -147,3 +147,20 @@ def test_scale0_top5_normalization(model_params_pc):
     np.testing.assert_allclose(
         np.asarray(normalized), centered / expected[:, None, None], rtol=1e-9
     )
+
+
+def test_encode_fps_multi_restart(model_params_pc):
+    """n_fps > 1 averages codes over random-start FPS restarts
+    (model_utils.py:199-215)."""
+    model, params, _ = model_params_pc
+    rng = np.random.default_rng(9)
+    pc = jnp.asarray(rng.normal(size=(2, 128, 3)))
+    mask = jnp.ones((2, 128), bool).at[:, 96:].set(False)
+    c1 = model.encode_fps(params, pc, mask, n_fps=3,
+                          rng=jax.random.PRNGKey(1))
+    assert c1["z_inv"].shape == (2, 32)
+    assert bool(jnp.all(jnp.isfinite(c1["z_inv"])))
+    # different rng -> different average (restart starts differ)
+    c2 = model.encode_fps(params, pc, mask, n_fps=3,
+                          rng=jax.random.PRNGKey(2))
+    assert not np.allclose(np.asarray(c1["z_inv"]), np.asarray(c2["z_inv"]))
