@@ -322,3 +322,11 @@ def huber_norm_weights(x: Array, b: float = 0.02) -> Array:
     res_norm = jnp.where(x <= b, x**2, 2.0 * b * x - b**2)
     safe_x = jnp.where(x == 0, 1.0, x)
     return jnp.sqrt(res_norm) / safe_x
+
+
+def get_robust_res(res: Array, b: float):
+    """Huber-robustified residuals + squared weights
+    (pose_estimation.py:271-285)."""
+    res = res.reshape(-1, 1, 1)
+    w = huber_norm_weights(jnp.abs(res), b=b)
+    return w * res, w**2

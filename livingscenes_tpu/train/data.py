@@ -309,6 +309,8 @@ class ShapeNetSDFDataset:
         aug: Optional[AugmentConfig] = None,
         class_balanced: bool = True,
         proportion: float = 1.0,
+        ram_cache: bool = False,
+        cache_workers: int = 8,
         seed: int = 0,
     ):
         self.root = data_root
@@ -380,21 +382,56 @@ class ShapeNetSDFDataset:
             items = balanced
         self.items = items
 
+        # Optional RAM caching of all npz payloads via a thread pool
+        # (reference dataset_base.py:71-84 __cache_dataset_parallel__).
+        self._cache: Optional[Dict[str, Dict[str, np.ndarray]]] = None
+        if ram_cache and items:
+            from concurrent.futures import ThreadPoolExecutor
+
+            unique_dirs = sorted(
+                {os.path.join(data_root, c, o) for c, o in items}
+            )
+
+            def load_dir(d):
+                payload = {}
+                for f in os.listdir(d):
+                    if f.endswith(".npz"):
+                        payload[f] = {
+                            k: v for k, v in np.load(os.path.join(d, f)).items()
+                        }
+                return d, payload
+
+            with ThreadPoolExecutor(max_workers=cache_workers) as ex:
+                self._cache = dict(ex.map(load_dir, unique_dirs))
+
+    def _npz(self, d: str, name: str) -> Dict[str, np.ndarray]:
+        if self._cache is not None:
+            return self._cache[d][name]
+        return np.load(os.path.join(d, name))
+
     def __len__(self):
         return len(self.items)
 
     def _load_input_cloud(self, d: str, rng) -> np.ndarray:
         if self.input_mode == "dep":
-            views = sorted(glob.glob(os.path.join(d, "dep_pcl_*.npz")))
+            if self._cache is not None:
+                views = sorted(
+                    f for f in self._cache[d] if f.startswith("dep_pcl_")
+                )
+            else:
+                views = sorted(
+                    os.path.basename(v)
+                    for v in glob.glob(os.path.join(d, "dep_pcl_*.npz"))
+                )
             if views:
                 k = rng.integers(
                     self.dep_min_use_view,
                     min(self.dep_max_use_view, len(views)) + 1,
                 )
                 sel = rng.choice(len(views), k, replace=False)
-                clouds = [np.load(views[i])["pcl"] for i in sel]
+                clouds = [self._npz(d, views[i])["pcl"] for i in sel]
                 return np.concatenate(clouds)
-        return np.load(os.path.join(d, "pointcloud.npz"))["points"]
+        return self._npz(d, "pointcloud.npz")["points"]
 
     def __getitem__(self, idx: int) -> Batch:
         cat, oid = self.items[idx]
@@ -408,8 +445,8 @@ class ShapeNetSDFDataset:
             if rng.random() < self.aug.aug_ratio:
                 inputs = augment_scene_sim(inputs, rng, self.aug)
 
-        uni_data = np.load(os.path.join(d, "points_uni.npz"))
-        nss_data = np.load(os.path.join(d, "points_nss.npz"))
+        uni_data = self._npz(d, "points_uni.npz")
+        nss_data = self._npz(d, "points_nss.npz")
         ui = rng.choice(len(uni_data["points"]), self.n_uni)
         ni = rng.choice(len(nss_data["points"]), self.n_nss)
         ei = rng.choice(len(uni_data["points"]), self.n_eval)

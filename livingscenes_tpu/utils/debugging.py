@@ -70,6 +70,22 @@ def profile_trace(log_dir: str | None = None, label: str = "trace"):
     log.info("[profile] %s: %.3fs", label, time.perf_counter() - t0)
 
 
+def device_memory_stats() -> dict:
+    """Per-device memory usage (the reference's gpu_summarize logging role,
+    logger_meta/metric_logger.py:91-94). Returns {} on backends without
+    memory stats."""
+    out = {}
+    for d in jax.local_devices():
+        stats = getattr(d, "memory_stats", lambda: None)()
+        if stats:
+            out[str(d)] = {
+                "bytes_in_use": stats.get("bytes_in_use"),
+                "peak_bytes_in_use": stats.get("peak_bytes_in_use"),
+                "bytes_limit": stats.get("bytes_limit"),
+            }
+    return out
+
+
 class StepTimer:
     """Named phase timers (the stats_dict pattern of the reference's mesh
     extractor, as a reusable utility)."""

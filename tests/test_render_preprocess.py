@@ -99,3 +99,38 @@ def test_preprocess_mesh_layout(tmp_path):
     item = ds[0]
     assert item["inputs"].shape == (256, 3)
     assert np.isfinite(item["points_uni_value"]).all()
+
+
+def test_shapenet_dataset_ram_cache(tmp_path):
+    """ram_cache preloads npz payloads (dataset_base.py:71-84 role) and
+    produces identical items to the disk path."""
+    m = sphere_mesh()
+    root = tmp_path / "root" / "cat"
+    root.mkdir(parents=True)
+    preprocess_mesh(
+        m, str(root / "obj0"), n_pointcloud=500, n_uni=600, n_nss=600,
+        n_views=2, camera=Camera(width=48, height=48, fx=48, fy=48),
+    )
+    from livingscenes_tpu.train.data import ShapeNetSDFDataset
+
+    kw = dict(n_pcl=64, n_uni=32, n_nss=32, n_eval=32, input_mode="dep")
+    ds_disk = ShapeNetSDFDataset(str(tmp_path / "root"), **kw)
+    ds_ram = ShapeNetSDFDataset(str(tmp_path / "root"), ram_cache=True, **kw)
+    a, b = ds_disk[0], ds_ram[0]
+    for k in a:
+        np.testing.assert_array_equal(a[k], b[k])
+
+
+def test_robust_res_and_memory_stats():
+    import jax.numpy as jnp
+    from livingscenes_tpu.se3 import get_robust_res
+    from livingscenes_tpu.utils.debugging import device_memory_stats
+
+    res = jnp.asarray([0.01, 0.5, -0.3])
+    robust, w2 = get_robust_res(res, b=0.02)
+    assert robust.shape == (3, 1, 1)
+    # small residuals keep weight 1; large ones are downweighted
+    assert abs(float(w2[0, 0, 0]) - 1.0) < 1e-5
+    assert float(w2[1, 0, 0]) < 0.1
+    stats = device_memory_stats()
+    assert isinstance(stats, dict)
