@@ -136,3 +136,22 @@ def test_refine_jits(rng):
     )
     R = fn(src)
     assert R.shape == (1, 3, 3)
+
+
+def test_solve_transform_from_latent(rng):
+    """Closed-form relative SE(3) from two codes
+    (pose_estimation.py:140-154)."""
+    from livingscenes_tpu import se3
+
+    R = jnp.asarray(Rotation.random(1, random_state=3).as_matrix())
+    t = jnp.asarray(rng.normal(size=(1, 1, 3)))
+    z1 = jnp.asarray(rng.normal(size=(1, 64, 3)))
+    t1 = jnp.asarray(rng.normal(size=(1, 1, 3)))
+    code1 = {"z_so3": z1, "t": t1}
+    code2 = {
+        "z_so3": jnp.einsum("bij,bcj->bci", R, z1),
+        "t": jnp.einsum("bij,bnj->bni", R, t1) + t,
+    }
+    g = se3.solve_transform_from_latent(code1, code2)
+    np.testing.assert_allclose(np.asarray(g[0, :3, :3]), np.asarray(R[0]), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(g[0, :3, 3]), np.asarray(t[0, 0]), atol=1e-8)
