@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.fps import farthest_point_sampling
+from ..ops.pallas_fps import fps_auto
 from ..ops.knn import gather_neighbors_onehot, knn
 from .edge_conv import _LNAWeights, fused_edge_kv
 from .vec_layers import VecLNA, VecLinear, VecResBlock, channel_equi_vec_normalize
@@ -72,6 +73,9 @@ class VecDGCNNAttn(nn.Module):
     # XLA's slow TPU gather (~3.5x, f32-rounding-exact). Set False for
     # bit-exact gathers.
     matmul_gather: bool = True
+    # VMEM-resident Pallas FPS kernel on TPU (up to 1.9x the XLA loop,
+    # exact index match; XLA fallback on other backends).
+    pallas_fps: bool = True
 
     def _knn_idx(
         self,
@@ -129,7 +133,10 @@ class VecDGCNNAttn(nn.Module):
             if i in ds_layers:
                 factor = ds_factors[ds_layers.index(i)]
                 n_new = src_xyz.shape[1] // factor
-                dst_xyz, idx = farthest_point_sampling(src_xyz, n_new)
+                if self.pallas_fps:
+                    dst_xyz, idx = fps_auto(src_xyz, n_new)
+                else:
+                    dst_xyz, idx = farthest_point_sampling(src_xyz, n_new)
                 dst_f = jnp.take_along_axis(
                     src_f, idx[..., None, None], axis=1
                 )

@@ -47,7 +47,12 @@ def _fps_kernel(pts_ref, mask_ref, idx_ref, *, k: int):
         d = jnp.sum((pts - last[:, :, None]) ** 2, axis=1)  # (TB, N)
         mind = jnp.minimum(mind, d)
         score = mind + invalid_penalty
-        nxt = jnp.argmax(score, axis=-1).astype(jnp.int32)
+        # argmax via max + first-match iota-min (Mosaic's argmax lowering
+        # miscompiles at some lane counts, e.g. N = 128).
+        m = jnp.max(score, axis=-1, keepdims=True)
+        nxt = jnp.min(
+            jnp.where(score >= m, col, jnp.int32(N)), axis=-1
+        ).astype(jnp.int32)
         idx_acc = jnp.where(col_k == i + 1, nxt[:, None], idx_acc)
         return mind, nxt, idx_acc
 
