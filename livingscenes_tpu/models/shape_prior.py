@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from ..nn.deepsdf import DeepSDFDecoder, DecoderCat
 from ..nn.vec_dgcnn_attn import VecDGCNNAttn
 from ..ops.fps import farthest_point_sampling
+from ..ops.pallas_fps import fps_auto
 
 Array = jax.Array
 Codes = Dict[str, Array]
@@ -176,7 +177,7 @@ class ShapePrior:
         k = self.config.n_pcl
         B, N, _ = pc.shape
         if n_fps <= 1:
-            sampled, _ = farthest_point_sampling(pc, k, mask=mask)
+            sampled, _ = fps_auto(pc, k, mask=mask)
             return self.encode(params, sampled)
 
         rng = rng if rng is not None else jax.random.PRNGKey(0)
