@@ -21,6 +21,12 @@ import json
 import time
 
 import jax
+
+# Persistent compilation cache: repeated bench runs (and the driver's
+# end-of-round run) skip the multi-minute XLA/Pallas compiles.
+jax.config.update("jax_compilation_cache_dir", "/tmp/lstpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 import jax.numpy as jnp
 import numpy as np
 
