@@ -34,7 +34,7 @@ def _strip_prefixes(state_dict: Dict[str, np.ndarray]) -> Dict[str, Dict]:
     names, accepting either training-layout keys
     ('network_dict.encoder.<...>') or pre-stripped ones ('<...>' plus a
     {'encoder': ..., 'decoder': ...} nesting convention)."""
-    enc, dec = {}, {}
+    enc, dec, cls = {}, {}, {}
     for k, v in state_dict.items():
         parts = k.split(".")
         if "encoder" in parts:
@@ -44,10 +44,11 @@ def _strip_prefixes(state_dict: Dict[str, np.ndarray]) -> Dict[str, Dict]:
             idx = parts.index("decoder")
             dec[".".join(parts[idx + 1 :])] = v
         elif "cls_head" in parts:
-            log.warning("ignoring cls_head weight %s (no cls head built)", k)
+            idx = parts.index("cls_head")
+            cls[".".join(parts[idx + 1 :])] = v
         else:
             log.warning("unrecognized checkpoint key %s", k)
-    return {"encoder": enc, "decoder": dec}
+    return {"encoder": enc, "decoder": dec, "cls_head": cls}
 
 
 def _to_np(v) -> np.ndarray:
@@ -114,15 +115,34 @@ def _convert_decoder(sd: Dict[str, np.ndarray]) -> Dict:
     return out
 
 
+def _convert_cls_head(sd: Dict[str, np.ndarray]) -> Dict:
+    """torch nn.Sequential(Linear, Sigmoid, Linear, Sigmoid, Linear)
+    indices {0, 2, 4} -> flax lin{0, 1, 2} (model_utils.py:131-146)."""
+    out: Dict = {}
+    for k, v in sd.items():
+        idx, kind = k.split(".")
+        name = f"lin{int(idx) // 2}"
+        arr = _to_np(v)
+        if kind == "weight":
+            out.setdefault(name, {})["kernel"] = arr.T
+        else:
+            out.setdefault(name, {})["bias"] = arr
+    return out
+
+
 def torch_state_dict_to_params(
     state_dict: Dict[str, np.ndarray], res_global_start_layer: int = 2
 ) -> Dict:
-    """Full conversion: raw torch state dict -> {'encoder':..., 'decoder':...}."""
+    """Full conversion: raw torch state dict -> {'encoder':..., 'decoder':...}
+    (+ 'cls_head' when the checkpoint carries one)."""
     split = _strip_prefixes(state_dict)
-    return {
+    params = {
         "encoder": _convert_encoder(split["encoder"], res_global_start_layer),
         "decoder": _convert_decoder(split["decoder"]),
     }
+    if split["cls_head"]:
+        params["cls_head"] = _convert_cls_head(split["cls_head"])
+    return params
 
 
 def load_torch_checkpoint(path: str, res_global_start_layer: int = 2) -> Dict:
@@ -177,4 +197,13 @@ def params_to_torch_state_dict(
     for comp in ("encoder", "decoder"):
         prefix = f"network_dict.{comp}."
         walk(params[comp], [])
+    if "cls_head" in params:
+        for name, leaf in params["cls_head"].items():
+            seq_idx = 2 * int(name[3:])
+            out[f"network_dict.cls_head.{seq_idx}.weight"] = np.asarray(
+                leaf["kernel"]
+            ).T
+            out[f"network_dict.cls_head.{seq_idx}.bias"] = np.asarray(
+                leaf["bias"]
+            )
     return out

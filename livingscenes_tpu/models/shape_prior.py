@@ -14,6 +14,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Dict, Optional
 
+import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
@@ -50,6 +51,12 @@ class ShapePriorConfig:
     decoder_latent_in: tuple = (4,)
     sdf2occ_factor: float = -1.0
     n_pcl: int = 1024  # encoder input size (dataset.n_pcl)
+    # Optional category-classification head on z_inv
+    # (model_utils.py:131-146, sim3sdf_vanilla.py:221-231).
+    use_cls: bool = False
+    num_cates: int = 7
+    # Optional SVD-orthogonalized O(3) frame head (vec_dgcnn_atten.py:240-244).
+    z_so3_as_Omtx: bool = False
 
     def build_encoder(self):
         """Encoder registry (mirrors model_utils.py:107-112 /
@@ -69,6 +76,7 @@ class ShapePriorConfig:
                 center_pred_scale=self.center_pred_scale,
                 approx_knn=self.approx_knn,
                 mixed_precision=self.mixed_precision,
+                z_so3_as_Omtx=self.z_so3_as_Omtx,
             )
         from ..nn.encoders import DGCNN, PCNet, PointNet, VecDGCNN, VecDGCNNV2
 
@@ -105,6 +113,24 @@ class ShapePriorConfig:
             return DecoderCat(input_dim=2 * self.c_dim + 1)
         raise ValueError(f"unknown decoder_type {self.decoder_type}")
 
+    def build_cls_head(self):
+        return ClsHead(c_dim=self.c_dim, num_cates=self.num_cates)
+
+
+class ClsHead(nn.Module):
+    """Category classifier on the invariant embedding — torch layout
+    nn.Sequential(Linear, Sigmoid, Linear, Sigmoid, Linear)
+    (model_utils.py:131-146, sim3sdf_vanilla.py:221-231)."""
+
+    c_dim: int = 256
+    num_cates: int = 7
+
+    @nn.compact
+    def __call__(self, z_inv: Array) -> Array:
+        h = jax.nn.sigmoid(nn.Dense(self.c_dim, name="lin0")(z_inv))
+        h = jax.nn.sigmoid(nn.Dense(self.c_dim, name="lin1")(h))
+        return nn.Dense(self.num_cates, name="lin2")(h)
+
 
 class ShapePrior:
     """Stateless model bundle: config + (params applied functionally)."""
@@ -113,6 +139,9 @@ class ShapePrior:
         self.config = config or ShapePriorConfig()
         self.encoder = self.config.build_encoder()
         self.decoder = self.config.build_decoder()
+        self.cls_head = (
+            self.config.build_cls_head() if self.config.use_cls else None
+        )
 
     # -- initialization ----------------------------------------------------
     def init_params(self, rng: jax.Array, n_points: Optional[int] = None):
@@ -123,7 +152,11 @@ class ShapePrior:
         dec = self.decoder.init(
             r2, jnp.zeros((1, 8, 2 * self.config.c_dim + 1))
         )
-        return {"encoder": enc["params"], "decoder": dec["params"]}
+        params = {"encoder": enc["params"], "decoder": dec["params"]}
+        if self.cls_head is not None:
+            cls = self.cls_head.init(r2, jnp.zeros((1, self.config.c_dim)))
+            params["cls_head"] = cls["params"]
+        return params
 
     # -- encoding ----------------------------------------------------------
     def normalize_input(self, pc: Array):
@@ -232,6 +265,16 @@ class ShapePrior:
         """Bernoulli occupancy logits = sdf2occ_factor * sdf
         (model_utils.py:263)."""
         return self.config.sdf2occ_factor * self.decode_sdf(params, query, codes)
+
+    # -- classification ------------------------------------------------------
+    def classify(self, params, codes: Codes) -> Array:
+        """Category logits from the invariant embedding
+        (model_utils.py:131-146). Returns (B, num_cates)."""
+        if self.cls_head is None:
+            raise ValueError("model built without use_cls=True")
+        return self.cls_head.apply(
+            {"params": params["cls_head"]}, codes["z_inv"]
+        )
 
 
 def slice_codes(codes: Codes, index) -> Codes:

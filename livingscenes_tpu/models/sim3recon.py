@@ -23,6 +23,7 @@ from typing import Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from .. import se3
 from .shape_prior import ShapePrior, ShapePriorConfig
 
 Array = jax.Array
@@ -43,6 +44,7 @@ class TrainLossConfig:
     center_aug_std: float = 0.05
     rot_aug: bool = False
     iou_threshold: float = 0.5
+    w_cls: float = 1.0
 
 
 class SIM3Recon:
@@ -108,21 +110,30 @@ class SIM3Recon:
         """
         cfg = self.loss_cfg
         rngs = (
-            dict(zip(("aug", "dropout"), jax.random.split(rng)))
+            dict(zip(("aug", "dropout", "rot"), jax.random.split(rng, 3)))
             if rng is not None
             else {}
         )
+        inputs = batch["inputs"]
+        query = jnp.concatenate(
+            [batch["points_uni"], batch["points_nss"]], axis=1
+        )
+        if cfg.rot_aug and rngs:
+            # Random SO(3) aug applied in train AND val phases; the query
+            # rotates with the input unless the decoder works in canonical
+            # space (sim3sdf_vanilla.py:269-275).
+            R = se3.random_rotation(rngs["rot"], (inputs.shape[0],))
+            R = R.astype(inputs.dtype)
+            inputs = jnp.einsum("bij,bnj->bni", R, inputs)
+            if self.config.decoder_type not in ("deepsdf", "inv_mlp"):
+                query = jnp.einsum("bij,bnj->bni", R, query)
         codes, pred_scale, centroid = self._encode_training(
-            params, batch["inputs"], rngs.get("aug"), train
+            params, inputs, rngs.get("aug"), train
         )
 
         loss_scale = jnp.mean(jnp.abs(pred_scale - 1.0))
         loss_center = jnp.mean(jnp.sum(jnp.abs(centroid), axis=-1))
         error_center = jnp.linalg.norm(centroid, axis=-1)
-
-        query = jnp.concatenate(
-            [batch["points_uni"], batch["points_nss"]], axis=1
-        )
         sdf_gt = jnp.concatenate(
             [batch["points_uni_value"], batch["points_nss_value"]], axis=1
         )
@@ -150,6 +161,23 @@ class SIM3Recon:
             + cfg.w_s * loss_scale
             + cfg.w_t * loss_center
         )
+        cls_metrics = {}
+        if self.prior.cls_head is not None and "class" in batch:
+            logits = self.prior.classify(params, codes)
+            # The reference feeds softmax(logits) INTO CrossEntropyLoss
+            # (which itself log-softmaxes) — reproduce that double-softmax
+            # faithfully (sim3sdf_vanilla.py:340-347).
+            probs = jax.nn.softmax(logits, axis=-1)
+            logp = jax.nn.log_softmax(probs, axis=-1)
+            gt = batch["class"].astype(jnp.int32)
+            loss_cls = -jnp.mean(
+                jnp.take_along_axis(logp, gt[:, None], axis=-1)
+            )
+            acc = jnp.mean((jnp.argmax(probs, axis=-1) == gt).astype(
+                jnp.float32
+            ))
+            batch_loss = batch_loss + cfg.w_cls * loss_cls
+            cls_metrics = {"loss_cls": loss_cls, "metric_bs_cls_acc": acc}
         metrics = {
             "batch_loss": batch_loss,
             "loss_recon_uni": uni_loss,
@@ -160,7 +188,9 @@ class SIM3Recon:
             "metric_recon_uni_error": jnp.mean(err[:, :n_uni]),
             "metric_recon_nss_error": jnp.mean(err[:, n_uni:]),
             "scale_mean": jnp.mean(pred_scale),
+            **cls_metrics,
         }
+        metrics["batch_loss"] = batch_loss
         return batch_loss, metrics
 
     def val_iou(self, params, batch: Dict[str, Array]) -> Array:

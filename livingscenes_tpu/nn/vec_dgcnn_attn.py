@@ -76,6 +76,9 @@ class VecDGCNNAttn(nn.Module):
     # VMEM-resident Pallas FPS kernel on TPU (up to 1.9x the XLA loop,
     # exact index match; XLA fallback on other backends).
     pallas_fps: bool = True
+    # Project z_so3 through fc_O and SVD-orthogonalize into an O(3) frame
+    # matrix (vec_dgcnn_atten.py:115-117,240-244).
+    z_so3_as_Omtx: bool = False
 
     def _knn_idx(
         self,
@@ -238,6 +241,16 @@ class VecDGCNNAttn(nn.Module):
             feat
         )
         z_inv = jnp.sum(channel_equi_vec_normalize(z_inv_dual) * z_so3, axis=-1)
+
+        if self.z_so3_as_Omtx:
+            # O(3)-frame head (vec_dgcnn_atten.py:240-244): project the
+            # normalized frame to 3 basis vectors and snap to the nearest
+            # orthogonal matrix via an f64 SVD (matching the reference's
+            # .double() round-trip).
+            basis = VecLinear(self.c_dim, 3, mode="so3", name="fc_O")(z_so3)
+            R_pred = jnp.swapaxes(basis, -1, -2)  # (B, 3, num_basis)
+            U, _, Vh = jnp.linalg.svd(R_pred.astype(jnp.float64))
+            z_so3 = jnp.swapaxes(U @ Vh, -1, -2).astype(R_pred.dtype)
 
         if self.center_pred:
             center = VecResBlock(

@@ -317,6 +317,16 @@ def from_xyzquat(xyzquat: Array) -> Array:
     return jnp.concatenate([R, t[..., None]], axis=-1)
 
 
+def random_rotation(key: Array, batch_shape=()) -> Array:
+    """Uniform random rotations (..., 3, 3), via normalized Gaussian
+    quaternions (the on-device analog of scipy Rotation.random used by the
+    reference's rot_aug, sim3sdf_vanilla.py:269-271)."""
+    q = jax.random.normal(key, tuple(batch_shape) + (4,))
+    xyzw = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    zeros = jnp.zeros(tuple(batch_shape) + (3,), xyzw.dtype)
+    return from_xyzquat(jnp.concatenate([zeros, xyzw], axis=-1))[..., :3, :3]
+
+
 def huber_norm_weights(x: Array, b: float = 0.02) -> Array:
     """IRLS Huber weights on residual norms (pose_estimation.py:256-269)."""
     res_norm = jnp.where(x <= b, x**2, 2.0 * b * x - b**2)

@@ -104,3 +104,28 @@ def test_no_center_pred_returns_three():
     params = enc.init(jax.random.PRNGKey(0), x)
     out = enc.apply(params, x)
     assert len(out) == 3
+
+
+def test_fc_O_head_orthogonal_and_equivariant():
+    """z_so3_as_Omtx head (vec_dgcnn_atten.py:240-244): output is a (B,3,3)
+    orthogonal frame that rotates with the input."""
+    enc = VecDGCNNAttn(**SMALL, center_pred=False, z_so3_as_Omtx=True)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(B, N, 3)))
+    params = f64(enc.init(jax.random.PRNGKey(2), x))
+    _, z_so3, _ = enc.apply(params, x)
+    assert z_so3.shape == (B, 3, 3)
+    # Orthogonality: rows form an orthonormal basis (O(3) snap via SVD).
+    should_be_eye = jnp.einsum("bij,bkj->bik", z_so3, z_so3)
+    np.testing.assert_allclose(
+        np.asarray(should_be_eye), np.broadcast_to(np.eye(3), (B, 3, 3)),
+        atol=1e-9,
+    )
+    # Equivariance: frame rotates with the input.
+    R = jnp.asarray(Rotation.random(B, random_state=5).as_matrix())
+    x_rot = jnp.einsum("bij,bnj->bni", R, x)
+    _, z_rot, _ = enc.apply(params, x_rot)
+    expected = jnp.einsum("bij,bcj->bci", R, z_so3)
+    np.testing.assert_allclose(
+        np.asarray(z_rot), np.asarray(expected), atol=1e-8
+    )

@@ -1,0 +1,152 @@
+"""Model-surface completeness: cls head, rot_aug, converter coverage.
+
+Mirrors the reference's optional heads/augs: classification head
+(model_utils.py:131-146, sim3sdf_vanilla.py:221-231,340-347) and the
+rotation augmentation (sim3sdf_vanilla.py:269-275).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from livingscenes_tpu.models.convert import (
+    params_to_torch_state_dict,
+    torch_state_dict_to_params,
+)
+from livingscenes_tpu.models.shape_prior import ShapePrior, ShapePriorConfig
+from livingscenes_tpu.models.sim3recon import SIM3Recon, TrainLossConfig
+
+TINY = dict(
+    c_dim=32,
+    num_layers=4,
+    feat_dim=(16, 16, 32, 32),
+    down_sample_layers=(2,),
+    down_sample_factor=(2,),
+    atten_start_layer=2,
+    atten_multi_head_c=8,
+    num_knn=8,
+    scale_factor=10.0,
+    decoder_dims=(96,) * 8,
+    n_pcl=64,
+)
+
+
+def f64(tree):
+    return jax.tree.map(lambda x: x.astype(jnp.float64), tree)
+
+
+def make_batch(rng, B=2, with_class=False):
+    batch = {
+        "inputs": jnp.asarray(rng.normal(size=(B, 64, 3)), jnp.float32),
+        "points_uni": jnp.asarray(rng.normal(size=(B, 16, 3)), jnp.float32),
+        "points_uni_value": jnp.asarray(
+            rng.normal(size=(B, 16)), jnp.float32
+        ),
+        "points_nss": jnp.asarray(rng.normal(size=(B, 16, 3)), jnp.float32),
+        "points_nss_value": jnp.asarray(
+            rng.normal(size=(B, 16)), jnp.float32
+        ),
+    }
+    if with_class:
+        batch["class"] = jnp.asarray(rng.integers(0, 5, size=(B,)))
+    return batch
+
+
+def test_cls_head_shapes_and_loss():
+    cfg = ShapePriorConfig(**TINY, use_cls=True, num_cates=5)
+    model = SIM3Recon(cfg, TrainLossConfig())
+    params = model.init_params(jax.random.PRNGKey(0))
+    assert "cls_head" in params
+    rng = np.random.default_rng(0)
+    batch = make_batch(rng, with_class=True)
+    loss, metrics = model.loss(params, batch, rng=jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+    assert "loss_cls" in metrics and "metric_bs_cls_acc" in metrics
+    assert 0.0 <= float(metrics["metric_bs_cls_acc"]) <= 1.0
+    # batch_loss metric includes the cls term
+    np.testing.assert_allclose(float(metrics["batch_loss"]), float(loss))
+
+    # classify() directly
+    codes = model.prior.encode(params, batch["inputs"])
+    logits = model.prior.classify(params, codes)
+    assert logits.shape == (2, 5)
+
+
+def test_cls_head_converter_roundtrip():
+    """Converter maps network_dict.cls_head.{0,2,4}.* both ways with zero
+    warnings/drops."""
+    cfg = ShapePriorConfig(**TINY, use_cls=True, num_cates=5)
+    model = ShapePrior(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    sd = params_to_torch_state_dict(params)
+    cls_keys = sorted(k for k in sd if "cls_head" in k)
+    assert cls_keys == [
+        f"network_dict.cls_head.{i}.{kind}"
+        for i in (0, 2, 4)
+        for kind in ("bias", "weight")
+    ]
+    back = torch_state_dict_to_params(sd)
+    flat_a = {
+        jax.tree_util.keystr(p): a
+        for p, a in jax.tree_util.tree_leaves_with_path(params["cls_head"])
+    }
+    flat_b = {
+        jax.tree_util.keystr(p): b
+        for p, b in jax.tree_util.tree_leaves_with_path(back["cls_head"])
+    }
+    assert set(flat_a) == set(flat_b)
+    for k in flat_a:
+        np.testing.assert_allclose(
+            np.asarray(flat_a[k]), np.asarray(flat_b[k]), atol=0
+        )
+
+    # classify gives identical outputs through the round-trip
+    z = jnp.asarray(np.random.default_rng(1).normal(size=(3, 32)), jnp.float32)
+    codes = {"z_inv": z}
+    out_a = model.classify(params, codes)
+    out_b = model.classify({**params, "cls_head": back["cls_head"]}, codes)
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b), atol=0)
+
+
+def test_rot_aug_recon_loss_invariant():
+    """With an equivariant encoder and a decoder whose query rotates along
+    (decoder_type='inner_deepsdf' is NOT in the canonical-space list,
+    sim3sdf_vanilla.py:273-275), the recon losses are rotation-invariant:
+    rot_aug must not change them (f64, train=False so no dropout/center
+    noise)."""
+    cfg = ShapePriorConfig(**TINY)
+    base = SIM3Recon(cfg, TrainLossConfig(rot_aug=False, center_aug_std=0.0))
+    aug = SIM3Recon(cfg, TrainLossConfig(rot_aug=True, center_aug_std=0.0))
+    params = f64(base.init_params(jax.random.PRNGKey(0)))
+    rng = np.random.default_rng(2)
+    batch = {k: v.astype(jnp.float64) for k, v in make_batch(rng).items()}
+    key = jax.random.PRNGKey(3)
+    _, m0 = base.loss(params, batch, rng=key, train=False)
+    _, m1 = aug.loss(params, batch, rng=key, train=False)
+    np.testing.assert_allclose(
+        float(m1["loss_recon_uni"]), float(m0["loss_recon_uni"]), rtol=1e-9
+    )
+    np.testing.assert_allclose(
+        float(m1["loss_recon_nss"]), float(m0["loss_recon_nss"]), rtol=1e-9
+    )
+    np.testing.assert_allclose(
+        float(m1["metric_t"]), float(m0["metric_t"]), rtol=1e-9
+    )
+    np.testing.assert_allclose(
+        float(m1["loss_s"]), float(m0["loss_s"]), rtol=1e-9
+    )
+
+
+def test_rot_aug_changes_inputs_seen_by_encoder():
+    """rot_aug actually rotates (the flag is not a silent no-op): the
+    z_so3-dependent quantities must differ from the unaugmented run."""
+    cfg = ShapePriorConfig(**TINY)
+    aug = SIM3Recon(cfg, TrainLossConfig(rot_aug=True, center_aug_std=0.0))
+    params = f64(aug.init_params(jax.random.PRNGKey(0)))
+    rng = np.random.default_rng(4)
+    batch = {k: v.astype(jnp.float64) for k, v in make_batch(rng).items()}
+    key = jax.random.PRNGKey(5)
+    # loss_t uses the L1 norm of the (rotated) centroid — rotation variant.
+    _, m_aug = aug.loss(params, batch, rng=key, train=False)
+    base = SIM3Recon(cfg, TrainLossConfig(rot_aug=False, center_aug_std=0.0))
+    _, m_base = base.loss(params, batch, rng=key, train=False)
+    assert abs(float(m_aug["loss_t"]) - float(m_base["loss_t"])) > 1e-12
