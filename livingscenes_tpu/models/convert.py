@@ -51,10 +51,13 @@ def _strip_prefixes(state_dict: Dict[str, np.ndarray]) -> Dict[str, Dict]:
     return {"encoder": enc, "decoder": dec, "cls_head": cls}
 
 
+_CONVERT_DTYPE = np.float32
+
+
 def _to_np(v) -> np.ndarray:
     if hasattr(v, "detach"):
         v = v.detach().cpu().numpy()
-    return np.asarray(v, np.float32)
+    return np.asarray(v, _CONVERT_DTYPE)
 
 
 def _convert_encoder(
@@ -131,10 +134,15 @@ def _convert_cls_head(sd: Dict[str, np.ndarray]) -> Dict:
 
 
 def torch_state_dict_to_params(
-    state_dict: Dict[str, np.ndarray], res_global_start_layer: int = 2
+    state_dict: Dict[str, np.ndarray],
+    res_global_start_layer: int = 2,
+    dtype=np.float32,
 ) -> Dict:
     """Full conversion: raw torch state dict -> {'encoder':..., 'decoder':...}
-    (+ 'cls_head' when the checkpoint carries one)."""
+    (+ 'cls_head' when the checkpoint carries one). `dtype` controls the
+    parameter precision (float64 for tight parity testing)."""
+    global _CONVERT_DTYPE
+    _CONVERT_DTYPE = dtype
     split = _strip_prefixes(state_dict)
     params = {
         "encoder": _convert_encoder(split["encoder"], res_global_start_layer),

@@ -57,6 +57,11 @@ class ShapePriorConfig:
     num_cates: int = 7
     # Optional SVD-orthogonalized O(3) frame head (vec_dgcnn_atten.py:240-244).
     z_so3_as_Omtx: bool = False
+    # Parity mode: force bit-faithful numerics (exact kNN, native gathers,
+    # XLA FPS, unfused K/V) for apples-to-apples comparison against the
+    # reference torch model. Production defaults trade ~1e-7-level rounding
+    # and kNN recall ~0.99 for throughput; parity runs must not.
+    parity: bool = False
 
     def build_encoder(self):
         """Encoder registry (mirrors model_utils.py:107-112 /
@@ -74,9 +79,12 @@ class ShapePriorConfig:
                 scale_factor=self.scale_factor,
                 center_pred=self.center_pred,
                 center_pred_scale=self.center_pred_scale,
-                approx_knn=self.approx_knn,
-                mixed_precision=self.mixed_precision,
+                approx_knn=self.approx_knn and not self.parity,
+                mixed_precision=self.mixed_precision and not self.parity,
                 z_so3_as_Omtx=self.z_so3_as_Omtx,
+                fused_kv=not self.parity,
+                matmul_gather=not self.parity,
+                pallas_fps=not self.parity,
             )
         from ..nn.encoders import DGCNN, PCNet, PointNet, VecDGCNN, VecDGCNNV2
 

@@ -33,16 +33,31 @@ class WNDense(nn.Module):
     @nn.compact
     def __call__(self, x: Array) -> Array:
         in_features = x.shape[-1]
-        v = self.param(
-            "v",
-            nn.initializers.lecun_normal(),
-            (in_features, self.features),
-        )
+
+        def v_init(key, shape, dtype=jnp.float32):
+            # torch nn.Linear default: kaiming_uniform(a=sqrt(5)) ==
+            # U(-1/sqrt(fan_in), 1/sqrt(fan_in)).
+            bound = 1.0 / jnp.sqrt(shape[0])
+            return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+        v = self.param("v", v_init, (in_features, self.features))
         # torch stores (out, in) and normalizes per-out-row; our v is
         # (in, out) so normalize per column.
         v_norm = jnp.linalg.norm(v, axis=0, keepdims=True)
-        g = self.param("g", nn.initializers.ones, (self.features,))
-        b = self.param("b", nn.initializers.zeros, (self.features,))
+        # torch weight_norm initializes g = ||v||_row so the effective
+        # matrix at init equals the underlying Linear's init — matching
+        # from-scratch training dynamics (nn.utils.weight_norm semantics).
+        g = self.param(
+            "g",
+            lambda key, shape: jnp.linalg.norm(v, axis=0).astype(v.dtype),
+            (self.features,),
+        )
+
+        def b_init(key, shape, dtype=jnp.float32):
+            bound = 1.0 / jnp.sqrt(in_features)
+            return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+        b = self.param("b", b_init, (self.features,))
         w = v * (g[None, :] / jnp.maximum(v_norm, 1e-12))
         return x @ w + b
 

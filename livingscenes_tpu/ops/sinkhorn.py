@@ -78,27 +78,72 @@ def _sq_cost(x: Array, y: Array) -> Array:
     return 0.5 * d
 
 
-def _sym_potentials(C: Array, eps: float, iters: int):
-    """Symmetric Sinkhorn potentials for OT_eps(a, b) with uniform weights."""
+def _softmin_f(C, log_b, g, eps):
+    """f_i = -eps logsumexp_j(log_b_j + (g_j - C_ij)/eps)."""
+    return -eps * jax.scipy.special.logsumexp(
+        log_b[..., None, :] + (g[..., None, :] - C) / eps, axis=-1
+    )
+
+
+def _softmin_g(C, log_a, f, eps):
+    return -eps * jax.scipy.special.logsumexp(
+        log_a[..., :, None] + (f[..., :, None] - C) / eps, axis=-2
+    )
+
+
+def _sym_potentials(C: Array, eps_schedule, iters: int):
+    """Sinkhorn potentials for OT(a, b) with uniform weights — the
+    geomloss algorithm (Feydy et al. 2019): damped *parallel* updates
+    f <- (f + T(g))/2, g <- (g + T(f))/2 along the eps schedule, then one
+    undamped extrapolation pair at the target eps.
+
+    The parallel/damped form makes the potential sequence symmetric in
+    (a, x) <-> (b, y), so for x == y the xy-potentials equal the
+    self-correlation potentials and the debiased divergence vanishes
+    exactly.
+    """
     n, m = C.shape[-2], C.shape[-1]
     log_a = jnp.full(C.shape[:-1], -jnp.log(n), C.dtype)  # (..., n)
     log_b = jnp.full(C.shape[:-2] + (m,), -jnp.log(m), C.dtype)
 
-    def body(_, fg):
-        f, g = fg
-        # f_i = -eps * logsumexp_j (log_b_j + (g_j - C_ij)/eps)
-        f_new = -eps * jax.scipy.special.logsumexp(
-            log_b[..., None, :] + (g[..., None, :] - C) / eps, axis=-1
-        )
-        g_new = -eps * jax.scipy.special.logsumexp(
-            log_a[..., :, None] + (f_new[..., :, None] - C) / eps, axis=-2
-        )
-        return f_new, g_new
+    f = jnp.zeros(C.shape[:-1], C.dtype)
+    g = jnp.zeros(C.shape[:-2] + (m,), C.dtype)
 
-    f0 = jnp.zeros(C.shape[:-1], C.dtype)
-    g0 = jnp.zeros(C.shape[:-2] + (m,), C.dtype)
-    f, g = jax.lax.fori_loop(0, iters, body, (f0, g0))
-    return f, g
+    def damped(f, g, eps):
+        ft = _softmin_f(C, log_b, g, eps)
+        gt = _softmin_g(C, log_a, f, eps)
+        return 0.5 * (f + ft), 0.5 * (g + gt)
+
+    if len(eps_schedule) > 1:
+        # annealed: unrolled (schedule is short and static)
+        for eps in eps_schedule:
+            f, g = damped(f, g, eps)
+        eps = eps_schedule[-1]
+    else:
+        eps = eps_schedule[0]
+        f, g = jax.lax.fori_loop(
+            0, max(iters - 1, 0), lambda _, fg: damped(*fg, eps), (f, g)
+        )
+    # last extrapolation: one undamped parallel pair (detaches the
+    # fixed-point iteration cleanly for implicit-like gradients).
+    return _softmin_f(C, log_b, g, eps), _softmin_g(C, log_a, f, eps)
+
+
+def eps_annealing_schedule(
+    blur: float, diameter: float = 2.0, scaling: float = 0.5, tail: int = 2
+):
+    """geomloss-style eps-scaling: temperatures from diameter^2 down to
+    blur^2 by factor scaling^2, plus `tail` extra updates at the target
+    (SamplesLoss('sinkhorn', p=2) default scaling=0.5). Static python list
+    so the annealed loop unrolls under jit."""
+    eps_target = blur**2
+    schedule = []
+    e = max(diameter, blur) ** 2
+    while e > eps_target:
+        schedule.append(e)
+        e *= scaling**2
+    schedule.extend([eps_target] * max(tail, 1))
+    return schedule
 
 
 def sinkhorn_divergence(
@@ -106,20 +151,33 @@ def sinkhorn_divergence(
     y: Array,
     blur: float = 0.05,
     iters: int = 50,
+    anneal: bool = False,
+    diameter: float = 2.0,
+    scaling: float = 0.5,
 ) -> Array:
     """Debiased Sinkhorn divergence S_eps(x, y), eps = blur**2.
 
     x: (N, 3) or (B, N, 3); y: (M, 3) or (B, M, 3). Uniform weights.
     S = OT(x, y) - 0.5 OT(x, x) - 0.5 OT(y, y); differentiable in x and y.
+
+    With anneal=True, uses geomloss-style eps-scaling (temperatures from
+    diameter^2 to blur^2, one update pair each) instead of `iters`
+    fixed-temperature iterations — matching the convergence behavior of the
+    reference's SamplesLoss('sinkhorn', p=2) (more_solver.py:145,156) at a
+    fraction of the updates. Validated against exact OT in
+    tests/test_sinkhorn_fidelity.py.
     """
-    eps = blur**2
+    if anneal:
+        schedule = eps_annealing_schedule(blur, diameter, scaling)
+    else:
+        schedule = [blur**2]
     Cxy = _sq_cost(x, y)
     Cxx = _sq_cost(x, x)
     Cyy = _sq_cost(y, y)
 
-    f_xy, g_xy = _sym_potentials(Cxy, eps, iters)
-    f_xx, _ = _sym_potentials(Cxx, eps, iters)
-    f_yy, _ = _sym_potentials(Cyy, eps, iters)
+    f_xy, g_xy = _sym_potentials(Cxy, schedule, iters)
+    f_xx, _ = _sym_potentials(Cxx, schedule, iters)
+    f_yy, _ = _sym_potentials(Cyy, schedule, iters)
 
     ot_xy = jnp.mean(f_xy, axis=-1) + jnp.mean(g_xy, axis=-1)
     ot_xx = 2.0 * jnp.mean(f_xx, axis=-1)

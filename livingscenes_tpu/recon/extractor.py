@@ -9,6 +9,7 @@ Cython/C++ backend, minus the per-chunk device<->octree ping-pong.
 from __future__ import annotations
 
 import dataclasses
+import logging
 import math
 from typing import Callable, Dict, List, Optional
 
@@ -73,7 +74,7 @@ class MeshExtractor:
             return self._logits_fn(pts[None], codes)[0]
 
         if cfg.use_hierarchical:
-            return hierarchical_grid_values(
+            values, stats = hierarchical_grid_values(
                 decode_one,
                 resolution0=cfg.resolution0,
                 upsampling_steps=cfg.upsampling_steps,
@@ -81,13 +82,16 @@ class MeshExtractor:
                 box_size=cfg.box_size,
                 chunk_size=cfg.points_batch_size,
                 refine_cap_factor=cfg.refine_cap_factor,
+                return_stats=True,
             )
-        return dense_grid_values(
+            return values, stats["overflow"]
+        values = dense_grid_values(
             decode_one,
             resolution=cfg.final_resolution,
             box_size=cfg.box_size,
             chunk_size=cfg.points_batch_size,
         )
+        return values, jnp.zeros((0,), jnp.int32)
 
     def extract_from_grid(self, value_grid: np.ndarray) -> Mesh:
         """Host: padded isosurface extraction + rescale + simplify
@@ -120,7 +124,17 @@ class MeshExtractor:
             s=jnp.ones_like(codes["s"]),
             t=jnp.zeros_like(codes["t"]),
         )
-        grid = np.asarray(self._grid_fn(canonical))
+        grid, overflow = self._grid_fn(canonical)
+        grid = np.asarray(grid)
+        overflow = np.asarray(overflow)
+        if overflow.size and overflow.max() > 0:
+            logging.getLogger(__name__).warning(
+                "hierarchical grid refinement cap overflow: %s active "
+                "points dropped per level %s — mesh accuracy degraded "
+                "(raise refine_cap_factor or check for a noisy code)",
+                overflow.tolist(),
+                list(range(1, overflow.size + 1)),
+            )
         mesh = self.extract_from_grid(grid)
         if mesh.is_empty:
             return mesh

@@ -151,7 +151,8 @@ def hierarchical_grid_values(
     chunk_size: int = 65536,
     refine_cap_factor: int = 24,
     dtype=jnp.float32,
-) -> Array:
+    return_stats: bool = False,
+):
     """Coarse-to-fine grid evaluation (MISE-equivalent, fixed shapes).
 
     Returns the (res_final+1)^3 value grid, res_final = res0 * 2^steps.
@@ -160,9 +161,15 @@ def hierarchical_grid_values(
     the active set ever exceeds the cap, the points whose interpolated
     value is closest to the threshold win, so accuracy degrades from the
     far field inward rather than at the surface.
+
+    With `return_stats=True` also returns {"overflow": (steps,) int array}
+    — the number of active fine points *dropped* past the cap per level
+    (0 everywhere means the cap never bit; a pathological/noisy code is
+    visible instead of silently producing a degraded mesh).
     """
     values = dense_grid_values(decode, resolution0, box_size, chunk_size, dtype)
     res = resolution0
+    overflow = []
     for _ in range(upsampling_steps):
         active = _active_cells(values, threshold)
         fine_mask = _points_touching_active(active)
@@ -172,6 +179,8 @@ def hierarchical_grid_values(
         cap = min(refine_cap_factor * n * n, n * n * n)
 
         flat_mask = fine_mask.reshape(-1)
+        n_active = jnp.sum(flat_mask.astype(jnp.int32))
+        overflow.append(jnp.maximum(n_active - cap, 0))
         closeness = -jnp.abs(v_up.reshape(-1) - threshold)
         score = jnp.where(flat_mask, closeness, -jnp.inf)
         top_score, top_idx = jax.lax.top_k(score, cap)
@@ -188,4 +197,13 @@ def hierarchical_grid_values(
             jnp.where(jnp.isfinite(top_score), vals, flat[top_idx])
         )
         values = new_flat.reshape(n, n, n)
+    if return_stats:
+        stats = {
+            "overflow": (
+                jnp.stack(overflow)
+                if overflow
+                else jnp.zeros((0,), jnp.int32)
+            )
+        }
+        return values, stats
     return values

@@ -46,6 +46,11 @@ class RegistrationConfig:
     early_stop_deg: float = 10.0
     sinkhorn_blur: float = 0.05
     sinkhorn_iters: int = 30
+    # geomloss-style eps-annealing (the reference's SamplesLoss default):
+    # ~9 update pairs instead of sinkhorn_iters fixed-temperature ones,
+    # with better-converged potentials (tests/test_sinkhorn_fidelity.py).
+    sinkhorn_anneal: bool = True
+    sinkhorn_diameter: float = 2.0
     icp_iterations: int = 100
     use_icp: bool = True
 
@@ -115,7 +120,8 @@ def refine_se3(
         sdf = decode_sdf(moved, shared_codes)
         sdf_loss = jax.vmap(_smooth_l1)(sdf)  # (B,)
         ot = sinkhorn_divergence(
-            moved, tgt_pc, blur=cfg.sinkhorn_blur, iters=cfg.sinkhorn_iters
+            moved, tgt_pc, blur=cfg.sinkhorn_blur, iters=cfg.sinkhorn_iters,
+            anneal=cfg.sinkhorn_anneal, diameter=cfg.sinkhorn_diameter,
         )
         per_item = sdf_loss + ot
         return jnp.sum(per_item), per_item
