@@ -152,8 +152,13 @@ class SIM3Recon:
             near * cfg.loss_near_lambda + (1.0 - near) * cfg.loss_far_lambda
         )
         n_uni = batch["points_uni"].shape[1]
+        n_nss = batch["points_nss"].shape[1]
         uni_loss = jnp.mean(loss_i[:, :n_uni])
-        nss_loss = jnp.mean(loss_i[:, n_uni:])
+        # occ-mode datasets carry no near-surface set (width-0 arrays,
+        # shapenet_new2.py occ branch); static shape, so skip in Python.
+        nss_loss = (
+            jnp.mean(loss_i[:, n_uni:]) if n_nss > 0 else jnp.zeros(())
+        )
 
         batch_loss = (
             cfg.w_uni * uni_loss
@@ -186,7 +191,9 @@ class SIM3Recon:
             "loss_t": loss_center,
             "metric_t": jnp.mean(error_center),
             "metric_recon_uni_error": jnp.mean(err[:, :n_uni]),
-            "metric_recon_nss_error": jnp.mean(err[:, n_uni:]),
+            "metric_recon_nss_error": (
+                jnp.mean(err[:, n_uni:]) if n_nss > 0 else jnp.zeros(())
+            ),
             "scale_mean": jnp.mean(pred_scale),
             **cls_metrics,
         }

@@ -73,6 +73,9 @@ def get_lib() -> ctypes.CDLL:
     lib.kdtree_build.restype = ctypes.c_void_p
     lib.kdtree_build.argtypes = [f32p, i64]
     lib.kdtree_query.argtypes = [ctypes.c_void_p, f32p, i64, f32p, i32p]
+    lib.kdtree_query_k.argtypes = [
+        ctypes.c_void_p, f32p, i64, ctypes.c_int32, f32p, i32p,
+    ]
     lib.kdtree_free.argtypes = [ctypes.c_void_p]
 
     lib.voxelize_mesh.argtypes = [f32p, i64, i64p, i64, ctypes.c_int,
@@ -144,11 +147,23 @@ class KDTree:
         self._pts = np.ascontiguousarray(points, np.float32)
         self._handle = self._lib.kdtree_build(self._pts, len(self._pts))
 
-    def query(self, queries: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    def query(
+        self, queries: np.ndarray, k: int = 1
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """(dist, idx) of the k nearest points per query, ascending.
+
+        k=1 returns (m,) arrays (the metric-suite path); k>1 returns
+        (m, k) — parity with pykdtree's KDTree.query(k=...)
+        (libkdtree/pykdtree/kdtree.pyx:132)."""
         q = np.ascontiguousarray(queries, np.float32)
-        dist = np.empty(len(q), np.float32)
-        idx = np.empty(len(q), np.int32)
-        self._lib.kdtree_query(self._handle, q, len(q), dist, idx)
+        if k == 1:
+            dist = np.empty(len(q), np.float32)
+            idx = np.empty(len(q), np.int32)
+            self._lib.kdtree_query(self._handle, q, len(q), dist, idx)
+            return dist, idx
+        dist = np.empty((len(q), k), np.float32)
+        idx = np.empty((len(q), k), np.int32)
+        self._lib.kdtree_query_k(self._handle, q, len(q), k, dist, idx)
         return dist, idx
 
     def __del__(self):

@@ -95,6 +95,57 @@ struct Tree {
     Query1(q, best_d2, best_id, near);
     if (diff * diff < best_d2) Query1(q, best_d2, best_id, far);
   }
+
+  // k-NN: bounded max-heap over (d2, id) pairs (parity with pykdtree's
+  // k>1 queries, libkdtree/pykdtree/kdtree.pyx:132).
+  struct Heap {
+    float* d2;     // heap-ordered, d2[0] is the current worst
+    int32_t* ids;
+    int32_t k, count;
+    float worst() const {
+      return count < k ? std::numeric_limits<float>::max() : d2[0];
+    }
+    void push(float d, int32_t id) {
+      if (count < k) {
+        int32_t i = count++;
+        d2[i] = d; ids[i] = id;
+        while (i > 0) {
+          int32_t p = (i - 1) / 2;
+          if (d2[p] >= d2[i]) break;
+          std::swap(d2[p], d2[i]); std::swap(ids[p], ids[i]);
+          i = p;
+        }
+      } else if (d < d2[0]) {
+        d2[0] = d; ids[0] = id;
+        int32_t i = 0;
+        for (;;) {
+          int32_t l = 2 * i + 1, r = l + 1, big = i;
+          if (l < k && d2[l] > d2[big]) big = l;
+          if (r < k && d2[r] > d2[big]) big = r;
+          if (big == i) break;
+          std::swap(d2[big], d2[i]); std::swap(ids[big], ids[i]);
+          i = big;
+        }
+      }
+    }
+  };
+
+  void QueryK(const float* q, Heap& heap, int32_t node_id) const {
+    const Node& n = nodes[node_id];
+    if (n.axis < 0) {
+      for (int32_t i = n.begin; i < n.end; ++i) {
+        const float* p = &pts[3 * order[i]];
+        float dx = p[0] - q[0], dy = p[1] - q[1], dz = p[2] - q[2];
+        heap.push(dx * dx + dy * dy + dz * dz, order[i]);
+      }
+      return;
+    }
+    float diff = q[n.axis] - n.split;
+    int32_t near = diff <= 0 ? n.left : n.right;
+    int32_t far = diff <= 0 ? n.right : n.left;
+    QueryK(q, heap, near);
+    if (diff * diff < heap.worst()) QueryK(q, heap, far);
+  }
 };
 
 }  // namespace
@@ -123,5 +174,32 @@ void kdtree_query(const Tree* t, const float* queries, int64_t m,
 }
 
 void kdtree_free(Tree* t) { delete t; }
+
+// k-NN queries: out_dist/out_idx are (m, k), sorted ascending per query;
+// slots past the point count get dist=inf, idx=-1.
+void kdtree_query_k(const Tree* t, const float* queries, int64_t m,
+                    int32_t k, float* out_dist, int32_t* out_idx) {
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < m; ++i) {
+    std::vector<float> d2(k, std::numeric_limits<float>::max());
+    std::vector<int32_t> ids(k, -1);
+    Tree::Heap heap{d2.data(), ids.data(), k, 0};
+    t->QueryK(&queries[3 * i], heap, t->root);
+    // heap -> ascending order
+    std::vector<int32_t> perm(heap.count);
+    for (int32_t j = 0; j < heap.count; ++j) perm[j] = j;
+    std::sort(perm.begin(), perm.end(),
+              [&](int32_t a, int32_t b) { return d2[a] < d2[b]; });
+    for (int32_t j = 0; j < k; ++j) {
+      if (j < heap.count) {
+        out_dist[i * k + j] = std::sqrt(d2[perm[j]]);
+        out_idx[i * k + j] = ids[perm[j]];
+      } else {
+        out_dist[i * k + j] = std::numeric_limits<float>::infinity();
+        out_idx[i * k + j] = -1;
+      }
+    }
+  }
+}
 
 }  // extern "C"

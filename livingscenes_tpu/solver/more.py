@@ -38,6 +38,12 @@ Codes = Dict[str, Array]
 @dataclasses.dataclass(frozen=True)
 class MoreSolverConfig:
     n_input_point: int = 1024  # shape_priors.n_input_point
+    # FPS restarts per registration pair (configs/more_3rscan.yaml:10,
+    # more_solver.py:107). The reference replicates each pair n_init times
+    # through FPS (a no-op there: pytorch3d FPS is deterministic without
+    # random starts); here restarts use random start points and the
+    # lowest-Kabsch-residual candidate wins.
+    n_init: int = 1
     registration: RegistrationConfig = RegistrationConfig()
     mesh_extractor: MeshExtractorConfig = MeshExtractorConfig()
     code_optim: CodeOptimConfig = CodeOptimConfig()
@@ -103,6 +109,10 @@ class MoreSolver:
         """Registration pc1 -> pc2 on (B, N, 3) batches of pairs
         (more_solver.py:95-189). Returns (R (B,3,3), t (B,3,1))."""
         k = self.cfg.n_input_point
+        if self.cfg.n_init > 1 and (
+            pc1.shape[1] != k or pc2.shape[1] != k
+        ):
+            pc1, pc2, codes1, codes2 = self._best_fps_restart(pc1, pc2)
         if pc1.shape[1] != k:
             pc1, _ = farthest_point_sampling(pc1, k)
         if pc2.shape[1] != k:
@@ -113,6 +123,45 @@ class MoreSolver:
             codes2 = self._encode(pc2)
         fn = self._register_optim if optim else self._register
         return fn(pc1, pc2, codes1, codes2)
+
+    def _best_fps_restart(self, pc1: Array, pc2: Array):
+        """n_init FPS restarts per pair (random start points); keep the
+        candidate whose Kabsch init has the lowest residual."""
+        from .registration import kabsch_from_codes
+
+        k = self.cfg.n_input_point
+        n = self.cfg.n_init
+        B = pc1.shape[0]
+        key = jax.random.PRNGKey(0)
+        starts = jax.random.randint(
+            key, (n, B), 0, min(pc1.shape[1], pc2.shape[1])
+        )
+
+        def one(start):
+            s1, _ = farthest_point_sampling(pc1, k, start_idx=start)
+            s2, _ = farthest_point_sampling(pc2, k, start_idx=start)
+            c1 = self._encode(s1)
+            c2 = self._encode(s2)
+            res = kabsch_from_codes(c1, c2).residual  # (B,)
+            return s1, s2, c1, c2, res
+
+        cands = [one(starts[i]) for i in range(n)]
+        res = jnp.stack([c[4] for c in cands])  # (n, B)
+        best = jnp.argmin(res, axis=0)  # (B,)
+
+        def pick(xs):
+            stacked = jnp.stack(xs)  # (n, B, ...)
+            return jnp.take_along_axis(
+                stacked,
+                best.reshape((1, B) + (1,) * (stacked.ndim - 2)),
+                axis=0,
+            )[0]
+
+        pc1_b = pick([c[0] for c in cands])
+        pc2_b = pick([c[1] for c in cands])
+        codes1 = jax.tree.map(lambda *xs: pick(list(xs)), *[c[2] for c in cands])
+        codes2 = jax.tree.map(lambda *xs: pick(list(xs)), *[c[3] for c in cands])
+        return pc1_b, pc2_b, codes1, codes2
 
     def optimize_code(self, codes: Codes, pc: Array, mask=None) -> Codes:
         """Latent refinement against observed points (more_solver.py:191-228)."""

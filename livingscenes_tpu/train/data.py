@@ -59,6 +59,106 @@ class AugmentConfig:
     random_ball_removal_noise_std: float = 0.05
 
 
+@dataclasses.dataclass(frozen=True)
+class SamplingAugConfig:
+    """s1 sampling-density augmentation (shapenet_new2.py:433-549):
+    resample the input cloud with spatially non-uniform density — mixed
+    uniform / gaussian-hole / half-space modes — then randomly shrink and
+    re-duplicate. The reference gates this behind
+    `use_sampling_augmentation` (off in every shipped config, no published
+    values); defaults here are moderate versions of its knobs."""
+
+    mixing_prob: float = 0.5
+    mixing_mode_ratio: tuple = (1.0, 1.0, 1.0)  # uniform/gaussian/halfspace
+    single_mode_ratio: tuple = (1.0, 1.0, 1.0)
+    sampling_range: tuple = (0.3, 1.0)  # shrink-then-duplicate fraction
+    gaussian_num_range: tuple = (1, 4)
+    gaussian_std_range: tuple = (0.05, 0.25)
+    gaussian_nss_range: tuple = (0.0, 0.15)
+    halfspace_num_range: tuple = (1, 3)
+    halfspace_difference_range: tuple = (0.3, 1.0)
+
+
+def _uniform_sampling(pcl, n, rng):
+    return pcl[rng.choice(len(pcl), n, replace=True)]
+
+
+def _weighted_sampling(pcl, weight, n, rng):
+    s = weight.sum()
+    if s <= 0:
+        return _uniform_sampling(pcl, n, rng)
+    return pcl[rng.choice(len(pcl), n, replace=True, p=weight / s)]
+
+
+def _gaussian_hole_sampling(pcl, n, rng, cfg: SamplingAugConfig):
+    """Density holes around random anchors (shapenet_new2.py:503-532)."""
+    k = rng.integers(cfg.gaussian_num_range[0], cfg.gaussian_num_range[1] + 1)
+    anchor = _uniform_sampling(pcl, k, rng)
+    direction = rng.normal(size=(k, 3))
+    direction /= np.linalg.norm(direction, axis=1, keepdims=True) + 1e-8
+    mu = anchor + rng.uniform(*cfg.gaussian_nss_range, k)[:, None] * direction
+    std = rng.uniform(*cfg.gaussian_std_range, k)
+    var = std**2
+    dist = np.linalg.norm(pcl[None] - mu[:, None], axis=-1)  # (K, N)
+    prob = np.exp(-(dist**2) / (2 * var[:, None])) / np.sqrt(
+        2 * np.pi * var[:, None]
+    )
+    weight = np.clip(1.0 - prob.sum(0), 0.0, 1.0)
+    return _weighted_sampling(pcl, weight, n, rng)
+
+
+def _half_space_sampling(pcl, n, rng, cfg: SamplingAugConfig):
+    """Density drop on random half-spaces (shapenet_new2.py:534-549)."""
+    k = rng.integers(
+        cfg.halfspace_num_range[0], cfg.halfspace_num_range[1] + 1
+    )
+    anchor = _uniform_sampling(pcl, k, rng)
+    direction = rng.normal(size=(k, 3))
+    direction /= np.linalg.norm(direction, axis=1, keepdims=True) + 1e-8
+    inner = np.einsum("knj,kj->kn", pcl[None] - anchor[:, None], direction)
+    reduce = rng.uniform(*cfg.halfspace_difference_range, k)
+    decrease = ((inner < 0) * reduce[:, None]).sum(0)
+    weight = np.clip(1.0 - decrease, 0.0, 1.0)
+    return _weighted_sampling(pcl, weight, n, rng)
+
+
+def sampling_with_aug_s1(
+    pcl: np.ndarray, n: int, rng: np.random.Generator, cfg: SamplingAugConfig
+) -> np.ndarray:
+    """Select n input points with the s1 density augmentation
+    (shapenet_new2.py:452-485)."""
+    if rng.random() < cfg.mixing_prob:
+        seed = rng.random(3) * np.asarray(cfg.mixing_mode_ratio)
+        ratio = seed / (seed.sum() + 1e-8)
+        n_uni = int(n * ratio[0])
+        n_gauss = int(n * ratio[1])
+        n_half = n - n_uni - n_gauss
+        parts = []
+        if n_uni > 0:
+            parts.append(_uniform_sampling(pcl, n_uni, rng))
+        if n_gauss > 0:
+            parts.append(_gaussian_hole_sampling(pcl, n_gauss, rng, cfg))
+        if n_half > 0:
+            parts.append(_half_space_sampling(pcl, n_half, rng, cfg))
+        sampled = np.concatenate([np.atleast_2d(p) for p in parts], 0)
+    else:
+        cum = np.cumsum(
+            np.asarray(cfg.single_mode_ratio)
+            / np.sum(cfg.single_mode_ratio)
+        )
+        seed = rng.random()
+        if seed < cum[0]:
+            sampled = _uniform_sampling(pcl, n, rng)
+        elif seed > cum[1]:
+            sampled = _half_space_sampling(pcl, n, rng, cfg)
+        else:
+            sampled = _gaussian_hole_sampling(pcl, n, rng, cfg)
+    # shrink then re-duplicate (simulates low-res scans / repeated points)
+    m = min(int(rng.uniform(*cfg.sampling_range) * n), n)
+    sampled = _uniform_sampling(sampled, max(m, 1), rng)
+    return _uniform_sampling(sampled, n, rng)
+
+
 def _random_rotation(rng: np.random.Generator) -> np.ndarray:
     q = rng.normal(size=4)
     q /= np.linalg.norm(q)
@@ -205,6 +305,7 @@ class SyntheticShapeDataset:
         n_eval: int = 2048,
         noise_std: float = 0.005,
         aug: Optional[AugmentConfig] = None,
+        sampling_aug: Optional[SamplingAugConfig] = None,
         seed: int = 0,
     ):
         self.n_items = n_items
@@ -214,6 +315,7 @@ class SyntheticShapeDataset:
         self.n_eval = n_eval
         self.noise_std = noise_std
         self.aug = aug
+        self.sampling_aug = sampling_aug
         self.seed = seed
 
     def __len__(self):
@@ -259,6 +361,10 @@ class SyntheticShapeDataset:
         sdf = self._shape_sdf(rng)
 
         surface = self._surface_points(sdf, rng, self.n_pcl)
+        if self.sampling_aug is not None:
+            surface = sampling_with_aug_s1(
+                surface, self.n_pcl, rng, self.sampling_aug
+            )
         inputs = surface + rng.normal(0, self.noise_std, surface.shape)
         if self.aug is not None and self.aug.use_augmentation:
             if rng.random() < self.aug.aug_ratio:
@@ -304,9 +410,12 @@ class ShapeNetSDFDataset:
         n_eval: int = 10000,
         noise_std: float = 0.005,
         input_mode: str = "pcl",  # or "dep" (fused depth views)
+        dataset_mode: str = "hybrid",  # or "occ" (OccNet points.npz layout)
+        field_mode: str = "sdf",  # or "occ" (binarized supervision values)
         dep_min_use_view: int = 2,
         dep_max_use_view: int = 8,
         aug: Optional[AugmentConfig] = None,
+        sampling_aug: Optional[SamplingAugConfig] = None,
         class_balanced: bool = True,
         proportion: float = 1.0,
         ram_cache: bool = False,
@@ -319,9 +428,18 @@ class ShapeNetSDFDataset:
         )
         self.noise_std = noise_std
         self.input_mode = input_mode
+        assert dataset_mode in ("hybrid", "occ")
+        assert field_mode in ("sdf", "occ")
+        if dataset_mode == "occ":
+            # OccNet-layout data carries only binary occupancies
+            # (shapenet_new2.py:223-227).
+            assert field_mode == "occ", "occ data supports only occ field"
+        self.dataset_mode = dataset_mode
+        self.field_mode = field_mode
         self.dep_min_use_view = dep_min_use_view
         self.dep_max_use_view = dep_max_use_view
         self.aug = aug
+        self.sampling_aug = sampling_aug
         self.seed = seed
 
         if not os.path.isdir(data_root):
@@ -354,12 +472,11 @@ class ShapeNetSDFDataset:
 
         # Drop entries whose files are missing (dataset_base.py:58-69 skips
         # broken datapoints).
+        required = "points_uni.npz" if dataset_mode == "hybrid" else "points.npz"
         items = [
             it
             for it in items
-            if os.path.exists(
-                os.path.join(data_root, it[0], it[1], "points_uni.npz")
-            )
+            if os.path.exists(os.path.join(data_root, it[0], it[1], required))
         ]
         if proportion < 1.0:
             rng = np.random.default_rng(seed)
@@ -439,11 +556,35 @@ class ShapeNetSDFDataset:
         rng = np.random.default_rng(self.seed * 7919 + idx)
 
         cloud = self._load_input_cloud(d, rng)
-        sel = rng.choice(len(cloud), self.n_pcl, replace=len(cloud) < self.n_pcl)
-        inputs = cloud[sel] + rng.normal(0, self.noise_std, (self.n_pcl, 3))
+        if self.sampling_aug is not None:
+            inputs = sampling_with_aug_s1(
+                cloud, self.n_pcl, rng, self.sampling_aug
+            )
+        else:
+            inputs = _uniform_sampling(cloud, self.n_pcl, rng)
+        inputs = inputs + rng.normal(0, self.noise_std, (self.n_pcl, 3))
         if self.aug is not None and self.aug.use_augmentation:
             if rng.random() < self.aug.aug_ratio:
                 inputs = augment_scene_sim(inputs, rng, self.aug)
+
+        if self.dataset_mode == "occ":
+            # OccNet layout: points.npz with packed binary occupancies
+            # (shapenet_new2.py:294-297,355-365). No near-surface set —
+            # the nss arrays come back width-0 and the loss skips them.
+            occ_data = self._npz(d, "points.npz")
+            pts = occ_data["points"]
+            occ = np.unpackbits(occ_data["occupancies"])[: len(pts)]
+            ui = rng.choice(len(pts), self.n_uni)
+            ei = rng.choice(len(pts), self.n_eval)
+            return {
+                "inputs": inputs.astype(np.float32),
+                "points_uni": pts[ui].astype(np.float32),
+                "points_uni_value": occ[ui].astype(np.float32),
+                "points_nss": np.zeros((0, 3), np.float32),
+                "points_nss_value": np.zeros((0,), np.float32),
+                "eval_points": pts[ei].astype(np.float32),
+                "eval_points_occ": occ[ei].astype(np.float32),
+            }
 
         uni_data = self._npz(d, "points_uni.npz")
         nss_data = self._npz(d, "points_nss.npz")
@@ -452,12 +593,18 @@ class ShapeNetSDFDataset:
         ei = rng.choice(len(uni_data["points"]), self.n_eval)
         uni_sdf = uni_data["sdf"] if "sdf" in uni_data else uni_data["value"]
         nss_sdf = nss_data["sdf"] if "sdf" in nss_data else nss_data["value"]
+        uni_val, nss_val = uni_sdf[ui], nss_sdf[ni]
+        if self.field_mode == "occ":
+            # hybrid data, occupancy-field supervision
+            # (shapenet_new2.py:332-347: value = sdf <= 0).
+            uni_val = (uni_val <= 0).astype(np.float32)
+            nss_val = (nss_val <= 0).astype(np.float32)
         return {
             "inputs": inputs.astype(np.float32),
             "points_uni": uni_data["points"][ui].astype(np.float32),
-            "points_uni_value": uni_sdf[ui].astype(np.float32),
+            "points_uni_value": uni_val.astype(np.float32),
             "points_nss": nss_data["points"][ni].astype(np.float32),
-            "points_nss_value": nss_sdf[ni].astype(np.float32),
+            "points_nss_value": nss_val.astype(np.float32),
             "eval_points": uni_data["points"][ei].astype(np.float32),
             "eval_points_occ": (uni_sdf[ei] < 0).astype(np.float32),
         }

@@ -101,3 +101,50 @@ class TrainLogger:
         d = os.path.join(self.log_dir, "meshes")
         os.makedirs(d, exist_ok=True)
         mesh.export_obj(os.path.join(d, f"{name}_{step}.obj"))
+
+    def log_video(self, name: str, step: int, frames, fps: int = 10):
+        """Animated-GIF export of a frame sequence (the reference's video
+        logger role, logger_meta/video_logger.py:13-100, minus its
+        imageio/cv2 deps — PIL only).
+
+        frames: (T, H, W, 3) uint8/float array or (T, 1/3, H, W)
+        channel-first (the reference's layout); floats in [0, 1] are
+        scaled. Single-channel frames get a grayscale->RGB expansion.
+        Also pushed to TensorBoard as a video if a writer exists.
+        """
+        import numpy as _np
+
+        v = _np.asarray(frames)
+        if v.ndim != 4:
+            raise ValueError(f"expected (T,H,W,3) or (T,C,H,W), got {v.shape}")
+        if v.shape[1] in (1, 3) and v.shape[-1] not in (1, 3):
+            v = v.transpose(0, 2, 3, 1)  # channel-first -> channel-last
+        if v.shape[-1] == 1:
+            v = _np.repeat(v, 3, axis=-1)
+        if v.dtype != _np.uint8:
+            v = (_np.clip(v, 0.0, 1.0) * 255).astype(_np.uint8)
+
+        d = os.path.join(self.log_dir, "videos")
+        os.makedirs(d, exist_ok=True)
+        path = os.path.join(d, f"{name}_{step}.gif")
+        try:
+            from PIL import Image
+        except Exception:  # pragma: no cover - PIL is in the base image
+            log.warning("PIL unavailable; skipping video log %s", name)
+            return None
+        imgs = [Image.fromarray(fr) for fr in v]
+        imgs[0].save(
+            path,
+            save_all=True,
+            append_images=imgs[1:],
+            duration=max(int(1000 / fps), 1),
+            loop=0,
+        )
+        if self._tb is not None:
+            try:
+                self._tb.add_video(
+                    name, v.transpose(0, 3, 1, 2)[None], step, fps=fps
+                )
+            except Exception:
+                pass
+        return path

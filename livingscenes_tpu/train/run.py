@@ -81,6 +81,34 @@ def build_datasets(cfg: dict):
         n_nss=d.get("n_query_nss", 1024),
         noise_std=d.get("noise_std", 0.005),
     )
+    sampling_aug = None
+    if d.get("use_sampling_augmentation", False):
+        # s1 density augmentation (shapenet_new2.py:261-265,433-549)
+        from .data import SamplingAugConfig
+
+        sampling_aug = SamplingAugConfig(
+            mixing_prob=d.get("s1_mixing_sampling_prob", 0.5),
+            mixing_mode_ratio=tuple(
+                d.get("s1_mixing_mode_selection_ratio", (1.0, 1.0, 1.0))
+            ),
+            single_mode_ratio=tuple(
+                d.get("s1_single_mode_selection_ratio", (1.0, 1.0, 1.0))
+            ),
+            sampling_range=tuple(d.get("s1_sampling_range", (0.3, 1.0))),
+            gaussian_num_range=tuple(d.get("s1_gaussian_num_range", (1, 4))),
+            gaussian_std_range=tuple(
+                d.get("s1_gaussian_std_range", (0.05, 0.25))
+            ),
+            gaussian_nss_range=tuple(
+                d.get("s1_gaussian_nss_range", (0.0, 0.15))
+            ),
+            halfspace_num_range=tuple(
+                d.get("s1_halfspace_num_range", (1, 3))
+            ),
+            halfspace_difference_range=tuple(
+                d.get("s1_halfspace_difference_range", (0.3, 1.0))
+            ),
+        )
     if name == "shapenet_new2" or name == "shapenet":
         mk = lambda split, use_aug: ShapeNetSDFDataset(
             data_root=d["data_root"],
@@ -88,15 +116,19 @@ def build_datasets(cfg: dict):
             split_csv=d.get("shapenet_split_fn"),
             categories=d.get("categories"),
             input_mode=d.get("input_mode", "pcl"),
+            dataset_mode=d.get("dataset_mode", "hybrid"),
+            field_mode=d.get("field_mode", "sdf"),
             dep_min_use_view=d.get("dep_min_use_view", 2),
             dep_max_use_view=d.get("dep_max_use_view", 8),
             aug=aug if use_aug else None,
+            sampling_aug=sampling_aug if use_aug else None,
             n_eval=d.get("n_query_eval", 10000),
             **common,
         )
         return mk("train", True), mk("val", False)
     mk = lambda n, seed, use_aug: SyntheticShapeDataset(
         n_items=n, seed=seed, aug=aug if use_aug else None,
+        sampling_aug=sampling_aug if use_aug else None,
         n_eval=d.get("n_query_eval", 2048), **common,
     )
     return (

@@ -1,5 +1,7 @@
 """Auxiliary subsystem tests: alternative encoders/decoders, UDF extractor,
 multi-scan joint optimization, NaN guards, quaternion constructor."""
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -154,3 +156,49 @@ def test_from_xyzquat_matches_scipy(rng):
     g = se3.from_xyzquat(jnp.asarray(xyzq))
     np.testing.assert_allclose(g[..., :3, :3], q.as_matrix(), atol=1e-12)
     np.testing.assert_allclose(g[..., :3, 3], t, atol=1e-12)
+
+
+def test_logger_video_gif(tmp_path):
+    """Video logger (reference logger_meta/video_logger.py role): frame
+    stacks become animated GIFs, both channel-last and channel-first."""
+    from livingscenes_tpu.train.logger import TrainLogger
+
+    lg = TrainLogger(str(tmp_path))
+    rng = np.random.default_rng(0)
+    frames = rng.random((6, 16, 24, 3))
+    path = lg.log_video("spin", 3, frames, fps=5)
+    assert path is not None and os.path.exists(path)
+    from PIL import Image
+
+    im = Image.open(path)
+    assert im.is_animated and im.n_frames == 6
+    # channel-first single-channel layout (the reference's T,1,H,W)
+    path2 = lg.log_video("depth", 4, rng.random((4, 1, 16, 24)))
+    assert os.path.exists(path2)
+
+
+def test_kdtree_knn_queries():
+    """k>1 kd-tree queries (pykdtree kdtree.pyx:132 parity): ascending,
+    exact vs brute force, -1 padding past the point count."""
+    from livingscenes_tpu.native.bindings import KDTree
+
+    rng = np.random.default_rng(1)
+    pts = rng.normal(size=(200, 3)).astype(np.float32)
+    q = rng.normal(size=(37, 3)).astype(np.float32)
+    tree = KDTree(pts)
+    dist, idx = tree.query(q, k=5)
+    assert dist.shape == (37, 5) and idx.shape == (37, 5)
+    assert np.all(np.diff(dist, axis=1) >= 0)
+    d2 = np.linalg.norm(q[:, None] - pts[None], axis=-1)
+    brute_idx = np.argsort(d2, axis=1)[:, :5]
+    np.testing.assert_array_equal(np.sort(idx, 1), np.sort(brute_idx, 1))
+    np.testing.assert_allclose(
+        dist, np.sort(d2, axis=1)[:, :5], rtol=1e-5, atol=1e-6
+    )
+    # k=1 path unchanged
+    d1, i1 = tree.query(q)
+    np.testing.assert_array_equal(i1, brute_idx[:, 0])
+    # k > point count pads with -1/inf
+    small = KDTree(pts[:3])
+    dist, idx = small.query(q[:2], k=5)
+    assert np.all(idx[:, 3:] == -1) and np.all(np.isinf(dist[:, 3:]))

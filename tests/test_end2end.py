@@ -155,3 +155,27 @@ def test_registration_with_refinement_runs(scene, solver):
         cfg=cfg_small,
     )
     assert bool(jnp.all(jnp.isfinite(R))) and bool(jnp.all(jnp.isfinite(t)))
+
+
+def test_registration_n_init_restarts(scene):
+    """n_init > 1 (configs/more_3rscan.yaml:10): multiple random-start FPS
+    restarts, best Kabsch residual wins; registration stays correct on
+    oversized input clouds."""
+    ref, rescan, Rm, tm, perm = scene
+    model = ShapePrior(SMALL)
+    params = jax.tree.map(
+        lambda x: x.astype(jnp.float64),
+        model.init_params(jax.random.PRNGKey(0)),
+    )
+    cfg = MoreSolverConfig(
+        n_input_point=64,  # < N_PTS so the FPS-restart path triggers
+        n_init=3,
+        registration=RegistrationConfig(use_icp=False),
+    )
+    s = MoreSolver(model, params, cfg)
+    pc1 = ref[:1]
+    R_true = jnp.asarray(Rm[:1])
+    pc2 = jnp.einsum("bij,bnj->bni", R_true, pc1)
+    R, t = s.solve_pairwise_registration(pc1, pc2)
+    rre = float(se3.rotation_error(R, R_true)[0])
+    assert rre < 1.0, f"RRE {rre} deg with n_init=3"
