@@ -57,6 +57,9 @@ class ShapePriorConfig:
     num_cates: int = 7
     # Optional SVD-orthogonalized O(3) frame head (vec_dgcnn_atten.py:240-244).
     z_so3_as_Omtx: bool = False
+    # Fused Pallas attention layers (inference-only; see
+    # nn/pallas_attention.py).
+    pallas_attention: bool = False
     # Parity mode: force bit-faithful numerics (exact kNN, native gathers,
     # XLA FPS, unfused K/V) for apples-to-apples comparison against the
     # reference torch model. Production defaults trade ~1e-7-level rounding
@@ -85,6 +88,7 @@ class ShapePriorConfig:
                 fused_kv=not self.parity,
                 matmul_gather=not self.parity,
                 pallas_fps=not self.parity,
+                pallas_attention=self.pallas_attention and not self.parity,
             )
         from ..nn.encoders import DGCNN, PCNet, PointNet, VecDGCNN, VecDGCNNV2
 

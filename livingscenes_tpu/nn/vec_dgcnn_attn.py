@@ -30,6 +30,7 @@ from ..ops.fps import farthest_point_sampling
 from ..ops.pallas_fps import fps_auto
 from ..ops.knn import gather_neighbors_onehot, knn
 from .edge_conv import _LNAWeights, fused_edge_kv
+from .pallas_attention import fused_edge_attention
 from .vec_layers import VecLNA, VecLinear, VecResBlock, channel_equi_vec_normalize
 
 Array = jax.Array
@@ -79,6 +80,11 @@ class VecDGCNNAttn(nn.Module):
     # Project z_so3 through fc_O and SVD-orthogonalize into an O(3) frame
     # matrix (vec_dgcnn_atten.py:115-117,240-244).
     z_so3_as_Omtx: bool = False
+    # Fully-fused Pallas attention layer (gather + K/V edge conv +
+    # activation + attention + K-reduce in one VMEM-resident kernel,
+    # nn/pallas_attention.py). Inference-only (no VJP); XLA path is used
+    # off-TPU regardless.
+    pallas_attention: bool = False
 
     def _knn_idx(
         self,
@@ -150,6 +156,11 @@ class VecDGCNNAttn(nn.Module):
                 src_f, dst_f, self.num_knn, src_xyz, dst_xyz
             )  # (B, N_dst, K)
 
+            use_pallas_attn = (
+                self.pallas_attention
+                and i >= self.atten_start_layer
+                and jax.devices()[0].platform == "tpu"
+            )
             # One gather of the raw source features per layer. (A fused
             # gather-after-matmul variant was measured slower on v5e:
             # XLA's 5-D gathers, not the matmuls, dominate, and that form
@@ -157,6 +168,8 @@ class VecDGCNNAttn(nn.Module):
             nn_f = None
             if i == 0:
                 edge = self._layer0_edge(src_f, dst_f, idx)
+            elif use_pallas_attn:
+                pass  # the Pallas kernel gathers in VMEM
             else:
                 if self.matmul_gather:
                     Bc, Nsrc, Cc, _ = src_f.shape
@@ -180,6 +193,24 @@ class VecDGCNNAttn(nn.Module):
                     mm_bf16=self.mixed_precision,
                 )(edge)
                 dst_f = jnp.mean(msg, axis=2)  # mean over K
+            elif use_pallas_attn:
+                W_K, D_K = _LNAWeights(c_in, c_out, name=f"K_{i}")()
+                W_V, D_V = _LNAWeights(c_in, c_out, name=f"V_{i}")()
+                q_feat = VecLNA(
+                    c_in, c_out, act_func=act, mode="so3", name=f"Q_{i}"
+                )(dst_f)
+                dst_f = fused_edge_attention(
+                    src_f,
+                    dst_f,
+                    idx,
+                    channel_equi_vec_normalize(q_feat),
+                    W_K,
+                    D_K,
+                    W_V,
+                    D_V,
+                    head_c=self.atten_multi_head_c,
+                    neg_slope=self.leak_neg_slope,
+                )
             else:
                 if self.fused_kv:
                     W_K, D_K = _LNAWeights(c_in, c_out, name=f"K_{i}")()

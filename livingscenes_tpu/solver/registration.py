@@ -51,6 +51,11 @@ class RegistrationConfig:
     # with better-converged potentials (tests/test_sinkhorn_fidelity.py).
     sinkhorn_anneal: bool = True
     sinkhorn_diameter: float = 2.0
+    # bfloat16 decoder params + queries inside the 400-step refinement
+    # loop (f32 pose/Adam state). The DeepSDF fwd+bwd dominates the
+    # refine FLOPs (~6.5 PFLOP per 64-pair batch); bf16 halves its
+    # traffic/compute on standard TPU runtimes. Off by default (parity).
+    refine_bf16: bool = False
     icp_iterations: int = 100
     use_icp: bool = True
 
@@ -197,6 +202,19 @@ def solve_pairwise_registration(
 
     if optim:
         decode = lambda q, c: model.decode_sdf(params, q, c)
+        if cfg.refine_bf16:
+            bf16 = lambda t: jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16)
+                if x.dtype == jnp.float32
+                else x,
+                t,
+            )
+            params_h = bf16(params)
+            refine_decode = lambda q, c: model.decode_sdf(
+                params_h, q.astype(jnp.bfloat16), bf16(c)
+            ).astype(jnp.float32)
+        else:
+            refine_decode = decode
         # Direction pick: optimize toward the frame whose code explains its
         # own cloud better (more_solver.py:119-135).
         err1 = jnp.mean(jnp.abs(decode(pc1, codes1)), axis=-1)
@@ -213,7 +231,9 @@ def solve_pairwise_registration(
         R0 = sel(R, R_bwd)
         t0 = sel(t, t_bwd)
 
-        R_opt, t_opt, _ = refine_se3(decode, src, tgt, shared, R0, t0, cfg)
+        R_opt, t_opt, _ = refine_se3(
+            refine_decode, src, tgt, shared, R0, t0, cfg
+        )
         # Invert the transform where we optimized pc2 -> pc1.
         R_inv = jnp.swapaxes(R_opt, -1, -2)
         t_inv = -jnp.matmul(R_inv, t_opt)

@@ -1,0 +1,78 @@
+"""Fused Pallas attention kernel vs the XLA attention path (interpret
+mode on CPU — same kernel program the TPU runs, minus Mosaic lowering)."""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from livingscenes_tpu.nn.edge_conv import fused_edge_kv
+from livingscenes_tpu.nn.pallas_attention import fused_edge_attention
+from livingscenes_tpu.nn.vec_layers import channel_equi_vec_normalize
+from livingscenes_tpu.ops.knn import gather_neighbors
+
+
+def xla_attention(src_f, dst_f, idx, q_n, W_K, D_K, W_V, D_V, head_c=16,
+                  neg_slope=0.2):
+    """The encoder's XLA attention path (nn/vec_dgcnn_attn.py:182-211)."""
+    act = lambda x: jax.nn.leaky_relu(x, negative_slope=neg_slope)
+    B, Ns, C, _ = src_f.shape
+    nn_f = gather_neighbors(
+        src_f.reshape(B, Ns, C * 3), idx
+    ).reshape(B, idx.shape[1], idx.shape[2], C, 3)
+    k_feat, v_feat = fused_edge_kv(nn_f, dst_f, W_K, D_K, W_V, D_V, act)
+    k_n = channel_equi_vec_normalize(k_feat)
+    qk = jnp.einsum("bnkci,bnci->bnkc", k_n, q_n)
+    O = W_K.shape[0]
+    n_head = O // head_c
+    qk_h = qk.reshape(B, qk.shape[1], qk.shape[2], n_head, head_c)
+    attn = jnp.sum(qk_h, axis=-1, keepdims=True) / jnp.sqrt(
+        jnp.asarray(3 * head_c, jnp.float32)
+    )
+    attn = jax.nn.softmax(attn, axis=2)
+    attn = jnp.broadcast_to(attn, qk_h.shape).reshape(qk.shape)
+    return jnp.einsum("bnkc,bnkci->bnci", attn, v_feat)
+
+
+@pytest.mark.parametrize(
+    "B,Ns,Nd,C,O,K",
+    [
+        (2, 64, 32, 16, 32, 8),   # small downsampling layer
+        (1, 128, 128, 32, 64, 16),  # production L2-like ratios
+    ],
+)
+def test_pallas_matches_xla(B, Ns, Nd, C, O, K):
+    rng = np.random.default_rng(0)
+    f32 = lambda *s: jnp.asarray(rng.normal(size=s), jnp.float32)
+    src_f = f32(B, Ns, C, 3)
+    dst_f = f32(B, Nd, C, 3)
+    q_feat = f32(B, Nd, O, 3)
+    q_n = channel_equi_vec_normalize(q_feat)
+    idx = jnp.asarray(rng.integers(0, Ns, (B, Nd, K)), jnp.int32)
+    W_K, W_V = f32(O, 2 * C) * 0.2, f32(O, 2 * C) * 0.2
+    D_K, D_V = f32(O, O) * 0.2, f32(O, O) * 0.2
+
+    ref = xla_attention(src_f, dst_f, idx, q_n, W_K, D_K, W_V, D_V)
+    out = fused_edge_attention(
+        src_f, dst_f, idx, q_n, W_K, D_K, W_V, D_V,
+        head_c=16, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5
+    )
+
+
+def test_pallas_tile_choice_divides():
+    from livingscenes_tpu.nn.pallas_attention import _pick_tile
+
+    # production layer shapes (N_src, N_dst, C, O)
+    for n_src, n_dst, c, o in [
+        (1024, 512, 32, 64),
+        (512, 512, 64, 64),
+        (512, 128, 64, 128),
+        (128, 32, 128, 256),
+        (32, 32, 256, 512),
+    ]:
+        tn = _pick_tile(n_dst, n_src, c, o, 16)
+        assert n_dst % tn == 0 and tn >= 8, (n_src, n_dst, tn)

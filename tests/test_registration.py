@@ -155,3 +155,54 @@ def test_solve_transform_from_latent(rng):
     g = se3.solve_transform_from_latent(code1, code2)
     np.testing.assert_allclose(np.asarray(g[0, :3, :3]), np.asarray(R[0]), atol=1e-8)
     np.testing.assert_allclose(np.asarray(g[0, :3, 3]), np.asarray(t[0, 0]), atol=1e-8)
+
+
+def test_refine_bf16_matches_f32(rng):
+    """refine_bf16 (half-precision decoder inside the 400-step loop) must
+    land on the same pose as the f32 path within registration noise."""
+    from livingscenes_tpu.models.shape_prior import (
+        ShapePrior,
+        ShapePriorConfig,
+    )
+    from livingscenes_tpu.solver.registration import (
+        solve_pairwise_registration,
+    )
+
+    model = ShapePrior(
+        ShapePriorConfig(
+            c_dim=32,
+            num_layers=4,
+            feat_dim=(16, 16, 32, 32),
+            down_sample_layers=(2,),
+            down_sample_factor=(2,),
+            atten_start_layer=2,
+            atten_multi_head_c=8,
+            num_knn=8,
+            scale_factor=10.0,
+            decoder_dims=(96,) * 8,
+            n_pcl=64,
+        )
+    )
+    params = jax.tree.map(
+        lambda x: x.astype(jnp.float32),
+        model.init_params(jax.random.PRNGKey(0), n_points=64),
+    )
+    pc1 = jnp.asarray(rng.normal(size=(2, 64, 3)), jnp.float32) * 0.4
+    R = jnp.asarray(
+        Rotation.random(2, random_state=7).as_matrix(), jnp.float32
+    )
+    pc2 = jnp.einsum("bij,bnj->bni", R, pc1) + 0.1
+
+    base = dict(n_steps=30, lr_milestones=(20,), use_icp=False)
+    R32, t32 = solve_pairwise_registration(
+        model, params, pc1, pc2, optim=True,
+        cfg=RegistrationConfig(**base, refine_bf16=False),
+    )
+    R16, t16 = solve_pairwise_registration(
+        model, params, pc1, pc2, optim=True,
+        cfg=RegistrationConfig(**base, refine_bf16=True),
+    )
+    delta = np.asarray(se3.rotation_error(R32, R16))
+    assert np.all(np.isfinite(np.asarray(R16)))
+    assert np.all(delta < 2.0), f"bf16 refine drifted {delta} deg"
+    assert float(jnp.abs(t32 - t16).max()) < 0.05
