@@ -34,7 +34,7 @@ def _strip_prefixes(state_dict: Dict[str, np.ndarray]) -> Dict[str, Dict]:
     names, accepting either training-layout keys
     ('network_dict.encoder.<...>') or pre-stripped ones ('<...>' plus a
     {'encoder': ..., 'decoder': ...} nesting convention)."""
-    enc, dec, cls = {}, {}, {}
+    enc, dec, cls, pe = {}, {}, {}, {}
     for k, v in state_dict.items():
         parts = k.split(".")
         if "encoder" in parts:
@@ -46,9 +46,13 @@ def _strip_prefixes(state_dict: Dict[str, np.ndarray]) -> Dict[str, Dict]:
         elif "cls_head" in parts:
             idx = parts.index("cls_head")
             cls[".".join(parts[idx + 1 :])] = v
+        elif "pe_projector" in parts:
+            idx = parts.index("pe_projector")
+            pe[".".join(parts[idx + 1 :])] = v
         else:
             log.warning("unrecognized checkpoint key %s", k)
-    return {"encoder": enc, "decoder": dec, "cls_head": cls}
+    return {"encoder": enc, "decoder": dec, "cls_head": cls,
+            "pe_projector": pe}
 
 
 _CONVERT_DTYPE = np.float32
@@ -150,6 +154,11 @@ def torch_state_dict_to_params(
     }
     if split["cls_head"]:
         params["cls_head"] = _convert_cls_head(split["cls_head"])
+    if split["pe_projector"]:
+        # VecLinear weight keeps the torch (out, in[-1]) orientation
+        params["pe_projector"] = {
+            k: _to_np(v) for k, v in split["pe_projector"].items()
+        }
     return params
 
 
@@ -205,6 +214,9 @@ def params_to_torch_state_dict(
     for comp in ("encoder", "decoder"):
         prefix = f"network_dict.{comp}."
         walk(params[comp], [])
+    if "pe_projector" in params:
+        for k, v in params["pe_projector"].items():
+            out[f"network_dict.pe_projector.{k}"] = np.asarray(v)
     if "cls_head" in params:
         for name, leaf in params["cls_head"].items():
             seq_idx = 2 * int(name[3:])

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 
 from ..nn.deepsdf import DeepSDFDecoder, DecoderCat
 from ..nn.vec_dgcnn_attn import VecDGCNNAttn
+from ..nn.vec_layers import VecLinear
 from ..ops.fps import farthest_point_sampling
 from ..ops.pallas_fps import fps_auto
 
@@ -55,6 +56,13 @@ class ShapePriorConfig:
     # (model_utils.py:131-146, sim3sdf_vanilla.py:221-231).
     use_cls: bool = False
     num_cates: int = 7
+    # Optional positional-encoding projector: project z_so3 to pe_src
+    # equivariant coordinate axes, encode <q, axes> with sin/cos at pe_pow
+    # octaves, and append to the invariant query
+    # (sim3sdf_vanilla.py:212-219, 407-412 + positional_encoder :387-396).
+    use_pe: bool = False
+    pe_src: int = 32
+    pe_pow: int = 4
     # Optional SVD-orthogonalized O(3) frame head (vec_dgcnn_atten.py:240-244).
     z_so3_as_Omtx: bool = False
     # Fused Pallas attention layers (inference-only; see
@@ -119,14 +127,21 @@ class ShapePriorConfig:
                 dims=self.decoder_dims,
                 dropout_prob=self.decoder_dropout_prob,
                 latent_in=self.decoder_latent_in,
-                pe_dim=self.c_dim + 1,
+                pe_dim=self.c_dim + 1 + self.pe_channels,
             )
         if self.decoder_type in ("inner", "inv_mlp"):
-            return DecoderCat(input_dim=2 * self.c_dim + 1)
+            return DecoderCat(
+                input_dim=2 * self.c_dim + 1 + self.pe_channels
+            )
         raise ValueError(f"unknown decoder_type {self.decoder_type}")
 
     def build_cls_head(self):
         return ClsHead(c_dim=self.c_dim, num_cates=self.num_cates)
+
+    @property
+    def pe_channels(self) -> int:
+        """Extra invariant-query channels added by the PE path."""
+        return self.pe_src * (1 + 2 * self.pe_pow) if self.use_pe else 0
 
 
 class ClsHead(nn.Module):
@@ -154,6 +169,13 @@ class ShapePrior:
         self.cls_head = (
             self.config.build_cls_head() if self.config.use_cls else None
         )
+        self.pe_projector = (
+            # reference: VecLinear(c_dim, pe_src) with the default se3 mode
+            # (sim3sdf_vanilla.py:217-219)
+            VecLinear(self.config.c_dim, self.config.pe_src, mode="se3")
+            if self.config.use_pe
+            else None
+        )
 
     # -- initialization ----------------------------------------------------
     def init_params(self, rng: jax.Array, n_points: Optional[int] = None):
@@ -162,12 +184,20 @@ class ShapePrior:
         pc = jax.random.normal(r1, (1, n, 3))
         enc = self.encoder.init(r1, pc)
         dec = self.decoder.init(
-            r2, jnp.zeros((1, 8, 2 * self.config.c_dim + 1))
+            r2,
+            jnp.zeros(
+                (1, 8, 2 * self.config.c_dim + 1 + self.config.pe_channels)
+            ),
         )
         params = {"encoder": enc["params"], "decoder": dec["params"]}
         if self.cls_head is not None:
             cls = self.cls_head.init(r2, jnp.zeros((1, self.config.c_dim)))
             params["cls_head"] = cls["params"]
+        if self.pe_projector is not None:
+            pe = self.pe_projector.init(
+                r2, jnp.zeros((1, self.config.c_dim, 3))
+            )
+            params["pe_projector"] = pe["params"]
         return params
 
     # -- encoding ----------------------------------------------------------
@@ -242,16 +272,36 @@ class ShapePrior:
         return jax.tree.map(lambda x: jnp.mean(x, axis=0), codes)
 
     # -- field decode ------------------------------------------------------
-    def invariant_query(self, query: Array, codes: Codes) -> Array:
+    def invariant_query(
+        self, query: Array, codes: Codes, params=None
+    ) -> Array:
         """Build the invariant decoder input (model_utils.py:236-240).
 
-        query: (B, M, 3) world-space points. Returns (B, M, 2C+1):
-        [z_inv | <q, z_so3> | ||q||] with q = (query - t) / s.
+        query: (B, M, 3) world-space points. Returns (B, M, 2C+1[+PE]):
+        [z_inv | <q, z_so3> | ||q|| | pe] with q = (query - t) / s. The
+        optional PE tail (sim3sdf_vanilla.py:387-396,407-412) needs
+        `params` for the pe_projector.
         """
         q = (query - codes["t"]) / codes["s"][:, None, None]
         inner = jnp.einsum("bmj,bcj->bmc", q, codes["z_so3"])
         length = jnp.linalg.norm(q, axis=-1, keepdims=True)
         inv_query = jnp.concatenate([inner, length], axis=-1)
+        if self.pe_projector is not None:
+            axes = self.pe_projector.apply(
+                {"params": params["pe_projector"]}, codes["z_so3"]
+            )  # (B, pe_src, 3)
+            pe_inner = jnp.einsum("bmj,bcj->bmc", q, axes)  # (B, M, pe_src)
+            sigma = jnp.pi * (
+                2.0 ** jnp.arange(self.config.pe_pow, dtype=q.dtype)
+            )
+            ang = pe_inner[..., None] * sigma  # (B, M, pe_src, pe_pow)
+            pe = jnp.concatenate(
+                [pe_inner[..., None], jnp.sin(ang), jnp.cos(ang)], axis=-1
+            )
+            B, M = pe.shape[:2]
+            inv_query = jnp.concatenate(
+                [inv_query, pe.reshape(B, M, -1)], axis=-1
+            )
         B, M, _ = query.shape
         z = jnp.broadcast_to(
             codes["z_inv"][:, None, :], (B, M, codes["z_inv"].shape[-1])
@@ -267,7 +317,7 @@ class ShapePrior:
         rngs: Optional[dict] = None,
     ) -> Array:
         """SDF at world-space query points (B, M, 3) -> (B, M)."""
-        x = self.invariant_query(query, codes)
+        x = self.invariant_query(query, codes, params=params)
         kwargs = {"rngs": rngs} if rngs else {}
         return self.decoder.apply(
             {"params": params["decoder"]}, x, train=train, **kwargs

@@ -58,9 +58,18 @@ def _attention_kernel(
     E = TN * k
     O = c_out
 
-    idx = idx_ref[0].reshape(E, 1)  # (E, 1)
-    src_iota = jax.lax.broadcasted_iota(jnp.int32, (E, n_src), 1)
-    onehot = (src_iota == idx).astype(jnp.float32)  # (E, n_src)
+    def rep_rows(x):
+        """(TN, W) -> (E, W), each row repeated K times. Mosaic-safe: a
+        broadcast plus a minor-dim-preserving reshape (lane-dim reshapes
+        are unsupported)."""
+        W = x.shape[-1]
+        return jnp.broadcast_to(x[:, None, :], (TN, k, W)).reshape(E, W)
+
+    # one-hot built in (TN, K, N_src) then flattened (minor dim kept)
+    src_iota = jax.lax.broadcasted_iota(jnp.int32, (TN, k, n_src), 2)
+    onehot = (
+        (src_iota == idx_ref[0][..., None]).astype(jnp.float32)
+    ).reshape(E, n_src)
 
     # ---- gather + edge conv per vector component ----
     wl = wl_ref[:]  # (C, 2O)
@@ -71,7 +80,7 @@ def _attention_kernel(
         )  # (E, C)
         y_i = jnp.dot(nn_i, wl, preferred_element_type=jnp.float32)
         # add the dst half (broadcast each dst row over its K edges)
-        y_i = y_i + jnp.repeat(ydst_ref[0, i], k, axis=0)
+        y_i = y_i + rep_rows(ydst_ref[0, i])
         yk.append(y_i[:, :O])
         yv.append(y_i[:, O:])
 
@@ -106,7 +115,7 @@ def _attention_kernel(
     # ---- q.k similarity ----
     qk = jnp.zeros((E, O), jnp.float32)
     for i in range(3):
-        qn_b = jnp.repeat(qn_ref[0, i], k, axis=0)  # (E, O)
+        qn_b = rep_rows(qn_ref[0, i])  # (E, O)
         qk = qk + (kf[i] * scale) * qn_b
 
     # ---- head sum via 0/1 matmul (no lane reshapes) ----

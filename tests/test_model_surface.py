@@ -150,3 +150,57 @@ def test_rot_aug_changes_inputs_seen_by_encoder():
     base = SIM3Recon(cfg, TrainLossConfig(rot_aug=False, center_aug_std=0.0))
     _, m_base = base.loss(params, batch, rng=key, train=False)
     assert abs(float(m_aug["loss_t"]) - float(m_base["loss_t"])) > 1e-12
+
+
+def test_pe_projector_decode_and_invariance():
+    """use_pe (sim3sdf_vanilla.py:212-219,387-396,407-412): PE channels
+    appended to the invariant query; SDF at co-rotated queries invariant
+    under SIM(3) of the input (the PE axes are equivariant)."""
+    from scipy.spatial.transform import Rotation
+
+    cfg = ShapePriorConfig(
+        **{**TINY, "decoder_dims": (192,) * 8}, use_pe=True, pe_src=8,
+        pe_pow=3,
+    )
+    model = ShapePrior(cfg)
+    params = f64(model.init_params(jax.random.PRNGKey(0)))
+    assert "pe_projector" in params
+    rng = np.random.default_rng(0)
+    pc = jnp.asarray(rng.normal(size=(2, 64, 3)))
+    query = jnp.asarray(rng.normal(size=(2, 16, 3)))
+
+    codes = model.encode(params, pc)
+    x = model.invariant_query(query, codes, params=params)
+    assert x.shape[-1] == 2 * 32 + 1 + 8 * (1 + 2 * 3)
+    sdf = model.decode_sdf(params, query, codes)
+    assert sdf.shape == (2, 16)
+
+    R = jnp.asarray(Rotation.random(2, random_state=1).as_matrix())
+    pc_rot = jnp.einsum("bij,bnj->bni", R, pc)
+    q_rot = jnp.einsum("bij,bnj->bni", R, query)
+    codes_rot = model.encode(params, pc_rot)
+    sdf_rot = model.decode_sdf(params, q_rot, codes_rot)
+    np.testing.assert_allclose(
+        np.asarray(sdf_rot), np.asarray(sdf), atol=1e-8
+    )
+
+
+def test_pe_projector_converter_roundtrip():
+    from livingscenes_tpu.models.convert import (
+        params_to_torch_state_dict,
+        torch_state_dict_to_params,
+    )
+
+    cfg = ShapePriorConfig(
+        **{**TINY, "decoder_dims": (192,) * 8}, use_pe=True, pe_src=8
+    )
+    model = ShapePrior(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    sd = params_to_torch_state_dict(params)
+    assert "network_dict.pe_projector.weight" in sd
+    back = torch_state_dict_to_params(sd)
+    np.testing.assert_allclose(
+        np.asarray(params["pe_projector"]["weight"]),
+        back["pe_projector"]["weight"],
+        atol=0,
+    )
