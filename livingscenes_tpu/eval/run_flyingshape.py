@@ -24,8 +24,10 @@ from .flyingshape import (
 log = logging.getLogger(__name__)
 
 
-def load_solver(ckpt: str | None) -> MoreSolver:
-    model = ShapePrior(ShapePriorConfig())
+def load_solver(ckpt: str | None, fast: bool = True) -> MoreSolver:
+    # fast: fused Pallas attention on TPU (100% matching agreement vs the
+    # XLA path, docs/ROUND2_NOTES.md); no-op off-TPU.
+    model = ShapePrior(ShapePriorConfig(pallas_attention=fast))
     if ckpt and ckpt.endswith(".pt"):
         from ..models.convert import load_torch_checkpoint
 

@@ -144,6 +144,128 @@ def _attention_kernel(
         )
 
 
+def _mean_edge_kernel(
+    src_ref,     # (1, 3, N_src, C)
+    ydst_ref,    # (1, 3, TN, O)  = (W_r - W_l) @ dst
+    idx_ref,     # (1, TN, K) int32
+    wl_ref,      # (C, O)  W_l^T
+    d_ref,       # (O, O)  D^T (activation direction)
+    out_ref,     # (1, 3, TN, O)
+    *,
+    n_src: int,
+    c_out: int,
+    k: int,
+    neg_slope: float,
+):
+    """Mean-pool edge-conv layer (the pre-attention V layers,
+    vec_dgcnn_atten.py:202-204): gather + VecLNA + mean over K, fused."""
+    TN = idx_ref.shape[1]
+    E = TN * k
+    O = c_out
+
+    src_iota = jax.lax.broadcasted_iota(jnp.int32, (TN, k, n_src), 2)
+    onehot = (
+        (src_iota == idx_ref[0][..., None]).astype(jnp.float32)
+    ).reshape(E, n_src)
+
+    wl = wl_ref[:]
+    y = []
+    for i in range(3):
+        nn_i = jnp.dot(
+            onehot, src_ref[0, i], preferred_element_type=jnp.float32
+        )
+        y_i = jnp.dot(nn_i, wl, preferred_element_type=jnp.float32)
+        y_i = y_i + jnp.broadcast_to(
+            ydst_ref[0, i][:, None, :], (TN, k, O)
+        ).reshape(E, O)
+        y.append(y_i)
+
+    d_t = d_ref[:]
+    kdir = [
+        jnp.dot(y[i], d_t, preferred_element_type=jnp.float32)
+        for i in range(3)
+    ]
+    n2 = kdir[0] ** 2 + kdir[1] ** 2 + kdir[2] ** 2
+    inv = 1.0 / jnp.maximum(jnp.sqrt(n2), 1e-12)
+    kdir = [kd * inv for kd in kdir]
+    qpara = y[0] * kdir[0] + y[1] * kdir[1] + y[2] * kdir[2]
+    acted = jnp.where(qpara >= 0, qpara, neg_slope * qpara)
+    for i in range(3):
+        msg_i = y[i] - qpara * kdir[i] + kdir[i] * acted
+        out_ref[0, i] = jnp.mean(msg_i.reshape(TN, k, O), axis=1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("neg_slope", "interpret", "tile")
+)
+def fused_edge_mean(
+    src_f: Array,   # (B, N_src, C, 3)
+    dst_f: Array,   # (B, N_dst, C, 3)
+    idx: Array,     # (B, N_dst, K)
+    W: Array,       # (O, 2C) VecLNA lin weight
+    D: Array,       # (O, O) activation direction weight
+    neg_slope: float = 0.2,
+    interpret: bool = False,
+    tile: int | None = None,
+) -> Array:
+    """Mean-pooled edge conv; returns (B, N_dst, O, 3). Equals
+    mean_K(VecLNA(2C, O)([nn - dst, dst])) up to f32 rounding."""
+    B, N_src, C, _ = src_f.shape
+    N_dst = dst_f.shape[1]
+    K = idx.shape[-1]
+    O = W.shape[0]
+
+    W_l = W[:, :C]
+    W_delta = W[:, C:] - W[:, :C]
+    y_dst = jnp.einsum("oc,bnci->bino", W_delta, dst_f)  # (B, 3, Nd, O)
+    src3 = jnp.transpose(src_f, (0, 3, 1, 2))
+
+    TN = tile or _pick_tile(N_dst, N_src, C, O, K)
+    out3 = pl.pallas_call(
+        functools.partial(
+            _mean_edge_kernel,
+            n_src=N_src,
+            c_out=O,
+            k=K,
+            neg_slope=neg_slope,
+        ),
+        grid=(B, N_dst // TN),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 3, N_src, C), lambda b, t: (b, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 3, TN, O), lambda b, t: (b, 0, t, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, TN, K), lambda b, t: (b, t, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (C, O), lambda b, t: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (O, O), lambda b, t: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 3, TN, O), lambda b, t: (b, 0, t, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, 3, N_dst, O), jnp.float32),
+        interpret=interpret,
+    )(
+        src3.astype(jnp.float32),
+        y_dst.astype(jnp.float32),
+        idx.astype(jnp.int32),
+        jnp.transpose(W_l).astype(jnp.float32),
+        jnp.transpose(D).astype(jnp.float32),
+    )
+    return jnp.transpose(out3, (0, 2, 3, 1))
+
+
 def _pick_tile(n_dst: int, n_src: int, c_in: int, c_out: int, k: int) -> int:
     """Largest power-of-two dst tile whose edge working set fits a VMEM
     budget (~6 MB of f32 temps; the onehot matrix and 3-component edge

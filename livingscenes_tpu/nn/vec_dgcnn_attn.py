@@ -30,7 +30,7 @@ from ..ops.fps import farthest_point_sampling
 from ..ops.pallas_fps import fps_auto
 from ..ops.knn import gather_neighbors_onehot, knn
 from .edge_conv import _LNAWeights, fused_edge_kv
-from .pallas_attention import fused_edge_attention
+from .pallas_attention import fused_edge_attention, fused_edge_mean
 from .vec_layers import VecLNA, VecLinear, VecResBlock, channel_equi_vec_normalize
 
 Array = jax.Array
@@ -158,7 +158,7 @@ class VecDGCNNAttn(nn.Module):
 
             use_pallas_attn = (
                 self.pallas_attention
-                and i >= self.atten_start_layer
+                and i >= 1  # layer 0 uses the cross-product edge feature
                 and jax.devices()[0].platform == "tpu"
             )
             # One gather of the raw source features per layer. (A fused
@@ -187,7 +187,13 @@ class VecDGCNNAttn(nn.Module):
                     )
             e_in = c_in * (3 if i == 0 else 2)
 
-            if i < self.atten_start_layer:
+            if i < self.atten_start_layer and use_pallas_attn:
+                W_V, D_V = _LNAWeights(c_in, c_out, name=f"V_{i}")()
+                dst_f = fused_edge_mean(
+                    src_f, dst_f, idx, W_V, D_V,
+                    neg_slope=self.leak_neg_slope,
+                )
+            elif i < self.atten_start_layer:
                 msg = VecLNA(
                     e_in, c_out, act_func=act, mode="so3", name=f"V_{i}",
                     mm_bf16=self.mixed_precision,

@@ -69,6 +69,42 @@ def dense_grid_values(
     return vals.reshape(n, n, n)
 
 
+def sharded_dense_grid_values(
+    decode: Callable[[Array], Array],
+    resolution: int,
+    mesh,
+    box_size: float = 1.1,
+    axis: str = "qp",
+    dtype=jnp.float32,
+) -> Array:
+    """Dense value grid with the query points sharded over a device mesh.
+
+    The multi-chip analog of the reference's host-side chunk loop
+    (mesh_extractor2.py:141-156, `points_batch_size`): the (res+1)^3
+    corner points are padded to a device multiple and evaluated with the
+    query axis sharded on `axis` — each chip decodes 1/n of the grid, no
+    collectives (the decoder params close over `decode`, replicated).
+    Returns the assembled (res+1)^3 grid (same values as
+    dense_grid_values).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n_dev = mesh.devices.size
+    pts = grid_coordinates(resolution, box_size, dtype)
+    n_pts = pts.shape[0]
+    padded = -(-n_pts // n_dev) * n_dev
+    pts = jnp.pad(pts, ((0, padded - n_pts), (0, 0)))
+
+    sharded_eval = jax.jit(
+        decode,
+        in_shardings=NamedSharding(mesh, P(axis)),
+        out_shardings=NamedSharding(mesh, P(axis)),
+    )
+    vals = sharded_eval(pts)
+    n = resolution + 1
+    return vals[:n_pts].reshape(n, n, n)
+
+
 def _double_resolution(v: Array) -> Array:
     """Trilinear x2 upsampling of a corner grid (n -> 2n-1 per axis),
     exact at existing corners."""

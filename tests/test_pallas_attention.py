@@ -76,3 +76,40 @@ def test_pallas_tile_choice_divides():
     ]:
         tn = _pick_tile(n_dst, n_src, c, o, 16)
         assert n_dst % tn == 0 and tn >= 8, (n_src, n_dst, tn)
+
+
+def test_fused_edge_mean_matches_xla():
+    """Mean-pool edge-conv kernel (pre-attention V layers) vs the XLA
+    VecLNA path."""
+    import flax.linen as nn_flax
+
+    from livingscenes_tpu.nn.pallas_attention import fused_edge_mean
+    from livingscenes_tpu.nn.vec_layers import VecLNA
+
+    rng = np.random.default_rng(1)
+    B, Ns, Nd, C, O, K = 2, 64, 32, 16, 32, 8
+    f32 = lambda *s: jnp.asarray(rng.normal(size=s), jnp.float32)
+    src_f, dst_f = f32(B, Ns, C, 3), f32(B, Nd, C, 3)
+    idx = jnp.asarray(rng.integers(0, Ns, (B, Nd, K)), jnp.int32)
+    W, D = f32(O, 2 * C) * 0.2, f32(O, O) * 0.2
+
+    # XLA path: materialized edge + VecLNA + mean over K
+    nn_f = gather_neighbors(
+        src_f.reshape(B, Ns, C * 3), idx
+    ).reshape(B, Nd, K, C, 3)
+    dst_pad = jnp.broadcast_to(dst_f[:, :, None], nn_f.shape)
+    edge = jnp.concatenate([nn_f - dst_pad, dst_pad], axis=-2)
+    act = lambda x: jax.nn.leaky_relu(x, negative_slope=0.2)
+    lna = VecLNA(2 * C, O, act_func=act, mode="so3")
+    params = {
+        "params": {
+            "lin": {"weight": W},
+            "act": {"lin_dir": {"weight": D}},
+        }
+    }
+    ref = jnp.mean(lna.apply(params, edge), axis=2)
+
+    out = fused_edge_mean(src_f, dst_f, idx, W, D, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5
+    )
