@@ -104,6 +104,14 @@ class VecDGCNNAttn(nn.Module):
         else:
             q = dst_xyz.reshape(B, N_dst, -1)
             p = src_xyz.reshape(B, N_src, -1)
+        if self.pallas_attention and jax.devices()[0].platform == "tpu":
+            # VMEM-resident EXACT kNN (ops/pallas_knn.py) — never
+            # materializes the (Nq, Np) distance matrix in HBM; measured
+            # far faster than both top_k and approx_min_k at graph sizes.
+            from ..ops.pallas_knn import knn_pallas
+
+            _, idx = knn_pallas(q, p, min(k, N_src))
+            return idx
         _, idx = knn(q, p, min(k, N_src), approx=self.approx_knn)
         return idx
 

@@ -81,8 +81,6 @@ def test_pallas_tile_choice_divides():
 def test_fused_edge_mean_matches_xla():
     """Mean-pool edge-conv kernel (pre-attention V layers) vs the XLA
     VecLNA path."""
-    import flax.linen as nn_flax
-
     from livingscenes_tpu.nn.pallas_attention import fused_edge_mean
     from livingscenes_tpu.nn.vec_layers import VecLNA
 
