@@ -97,6 +97,7 @@ class ShapePriorConfig:
                 matmul_gather=not self.parity,
                 pallas_fps=not self.parity,
                 pallas_attention=self.pallas_attention and not self.parity,
+                pallas_knn=not self.parity,
             )
         from ..nn.encoders import DGCNN, PCNet, PointNet, VecDGCNN, VecDGCNNV2
 

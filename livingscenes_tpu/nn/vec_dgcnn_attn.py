@@ -85,6 +85,11 @@ class VecDGCNNAttn(nn.Module):
     # nn/pallas_attention.py). Inference-only (no VJP); XLA path is used
     # off-TPU regardless.
     pallas_attention: bool = False
+    # VMEM-resident exact kNN graphs (ops/pallas_knn.py). Safe under
+    # differentiation (graph indices carry no gradient; inputs are
+    # stop_gradient-ed), so this also speeds the training forward pass.
+    # TPU only; XLA path elsewhere.
+    pallas_knn: bool = True
 
     def _knn_idx(
         self,
@@ -104,13 +109,19 @@ class VecDGCNNAttn(nn.Module):
         else:
             q = dst_xyz.reshape(B, N_dst, -1)
             p = src_xyz.reshape(B, N_src, -1)
-        if self.pallas_attention and jax.devices()[0].platform == "tpu":
+        if self.pallas_knn and jax.devices()[0].platform == "tpu":
             # VMEM-resident EXACT kNN (ops/pallas_knn.py) — never
             # materializes the (Nq, Np) distance matrix in HBM; measured
             # far faster than both top_k and approx_min_k at graph sizes.
+            # Indices are not differentiated through (same as the top_k
+            # path); stop_gradient keeps the kernel off the backward pass.
             from ..ops.pallas_knn import knn_pallas
 
-            _, idx = knn_pallas(q, p, min(k, N_src))
+            _, idx = knn_pallas(
+                jax.lax.stop_gradient(q),
+                jax.lax.stop_gradient(p),
+                min(k, N_src),
+            )
             return idx
         _, idx = knn(q, p, min(k, N_src), approx=self.approx_knn)
         return idx

@@ -36,6 +36,11 @@ def iterative_closest_point(
     relative_rmse_thr: float = 1e-6,
     src_mask: Array | None = None,
     tgt_mask: Array | None = None,
+    # Pallas 1-NN per iteration: measured SLOWER end-to-end (the per-
+    # iteration kernel dispatch inside the scan outweighs the avoided
+    # HBM distance matrix at these sizes) — off by default, kept for
+    # larger-cloud use cases.
+    use_pallas_nn: bool = False,
 ) -> ICPResult:
     """Rigid ICP aligning src -> tgt.
 
@@ -63,7 +68,21 @@ def iterative_closest_point(
         src_mask = jnp.ones((B, N), dtype=bool)
     w = src_mask.astype(dtype)
 
+    pallas_nn = (
+        use_pallas_nn
+        and tgt_mask is None
+        and jax.devices()[0].platform == "tpu"
+    )
+
     def nn_targets(x):
+        if pallas_nn:
+            # VMEM-resident 1-NN (ops/pallas_knn.py): skips materializing
+            # the (B, N, M) distance matrix in HBM on every ICP iteration.
+            from .pallas_knn import knn_pallas
+
+            d1, idx1 = knn_pallas(x, tgt, 1)
+            nn = jnp.take_along_axis(tgt, idx1, axis=1)
+            return nn, d1[..., 0]
         d = pairwise_sqdist(x, tgt)
         if tgt_mask is not None:
             d = jnp.where(tgt_mask[:, None, :], d, 1e10)
