@@ -208,6 +208,15 @@ struct Simplifier {
       }
       vertex_faces[v1].clear();
 
+      // Compact v0's face list: without this, dead faces accumulate on
+      // collapse "super-vertices" and FlipsNormal/neighbor scans degrade
+      // to O(n) per collapse (measured 38 s on a 200k-face mesh).
+      auto& vf = vertex_faces[v0];
+      vf.erase(
+          std::remove_if(vf.begin(), vf.end(),
+                         [&](int64_t f) { return !face_alive[f]; }),
+          vf.end());
+
       // Re-push candidate edges around v0.
       std::unordered_set<int64_t> nbrs;
       for (int64_t f : vertex_faces[v0]) {

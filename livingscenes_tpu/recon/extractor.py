@@ -98,6 +98,22 @@ class MeshExtractor:
         (mesh_extractor2.py:158-215)."""
         cfg = self.config
         n = value_grid.shape[0]
+        thr = cfg.logit_threshold
+        if (value_grid > thr).all() or (value_grid <= thr).all():
+            # Degenerate field: the whole box is one-sided (e.g. a noisy /
+            # scale-collapsed code). The -1e6 padding would turn this into
+            # a 2(n-1)^2*6-face boundary box and stall QEM simplification;
+            # surface extraction is meaningless here, so return empty and
+            # say why. (The reference would emit the box,
+            # mesh_extractor2.py:173-174 — a pathological stall at scale.)
+            logging.getLogger(__name__).warning(
+                "value grid is uniformly %s the iso-threshold — returning "
+                "an empty mesh (degenerate code?)",
+                "above" if (value_grid > thr).all() else "below",
+            )
+            return Mesh(
+                np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int64)
+            )
         padded = np.pad(
             value_grid.astype(np.float32), 1, constant_values=-1e6
         )

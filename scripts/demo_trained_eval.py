@@ -1,0 +1,146 @@
+"""Capstone demo: train -> evaluate the full benchmark surface.
+
+Takes a trained checkpoint (e.g. from configs/demo_round2.yaml), builds a
+procedural FlyingShape-format benchmark (same shape family as the
+synthetic training set, with analytic-SDF ground-truth meshes), and runs
+the real eval drivers: matching, relocalization (with and without the
+400-step refinement) and reconstruction with chamfer / volumetric IoU /
+SDF-recall — the full eval_flyingshape.py:62-214 surface with trained
+weights.
+
+    python scripts/demo_trained_eval.py --ckpt /tmp/lstpu_demo_r2/checkpoint/selected.ckpt
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy.spatial.transform import Rotation
+
+
+def build_benchmark(root: str, n_scenes: int = 4, n_obj: int = 4,
+                    n_pts: int = 512, seed: int = 7):
+    """Procedural FlyingShape tree + analytic GT meshes."""
+    from livingscenes_tpu.recon.extractor import marching_isosurface
+    from livingscenes_tpu.recon.mesh import Mesh
+    from livingscenes_tpu.train.data import SyntheticShapeDataset
+
+    ds = SyntheticShapeDataset(n_items=1, n_pcl=n_pts)
+    rng = np.random.default_rng(seed)
+    gt_meshes = {}
+
+    for s in range(n_scenes):
+        scene_dir = os.path.join(root, f"shape_{n_obj}", f"scene_{s:03d}")
+        os.makedirs(scene_dir, exist_ok=True)
+        pcs, poses1, class_ids, obj_ids = [], [], [], []
+        for o in range(n_obj):
+            sdf = ds._shape_sdf(rng)
+            surf = ds._surface_points(sdf, rng, n_pts)
+            offset = rng.uniform(-2.0, 2.0, 3)
+            pcs.append(surf + offset)
+            class_ids.append("proc")
+            obj_ids.append(f"s{s}_o{o}")
+
+            # analytic GT mesh in the scan_000 world frame
+            res = 64
+            idx = np.linspace(-0.6, 0.6, res)
+            X, Y, Z = np.meshgrid(idx, idx, idx, indexing="ij")
+            grid = sdf(
+                np.stack([X, Y, Z], -1).reshape(-1, 3)
+            ).reshape(res, res, res)
+            v, f = marching_isosurface(grid.astype(np.float32), 0.0)
+            v = v / (res - 1) * 1.2 - 0.6 + offset
+            gt_meshes[("proc", f"s{s}_o{o}")] = Mesh(
+                v.astype(np.float32), f.astype(np.int64)
+            )
+
+        pcs = np.stack(pcs).astype(np.float32)
+        Rm = Rotation.random(n_obj, random_state=100 + s).as_matrix()
+        tm = rng.normal(size=(n_obj, 3)) * 0.4
+        moved = np.einsum("bij,bnj->bni", Rm, pcs) + tm[:, None]
+        t0 = np.tile(np.eye(4), (n_obj, 1, 1)).astype(np.float32)
+        t1 = np.tile(np.eye(4), (n_obj, 1, 1)).astype(np.float32)
+        t1[:, :3, :3] = Rm
+        t1[:, :3, 3] = tm
+        common = dict(
+            class_id=np.array(class_ids), obj_id=np.array(obj_ids)
+        )
+        np.savez(
+            os.path.join(scene_dir, "scan_000.npz"),
+            pc=pcs.transpose(0, 2, 1), transform=t0, **common,
+        )
+        np.savez(
+            os.path.join(scene_dir, "scan_001.npz"),
+            pc=moved.astype(np.float32).transpose(0, 2, 1),
+            transform=t1, **common,
+        )
+    return gt_meshes
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--ckpt", required=True)
+    parser.add_argument("--root", default="/tmp/lstpu_trained_eval")
+    parser.add_argument("--out", default=None)
+    parser.add_argument("--n-pts", type=int, default=512)
+    parser.add_argument("--recon-upsample", type=int, default=1,
+                        help="mesh extractor upsampling steps (demo: 64^3)")
+    args = parser.parse_args()
+
+    from livingscenes_tpu.eval.flyingshape import (
+        FlyingShapeDataset,
+        eval_matching,
+        eval_reconstruction,
+        eval_relocalization,
+    )
+    from livingscenes_tpu.eval.run_flyingshape import load_solver
+    from livingscenes_tpu.solver import MoreSolver, MoreSolverConfig
+    from livingscenes_tpu.recon.extractor import MeshExtractorConfig
+
+    gt_meshes = build_benchmark(args.root, n_pts=args.n_pts)
+    base = load_solver(args.ckpt)
+    solver = MoreSolver(
+        base.model,
+        base.params,
+        MoreSolverConfig(
+            n_input_point=args.n_pts,
+            mesh_extractor=MeshExtractorConfig(
+                resolution0=32, upsampling_steps=args.recon_upsample,
+                simplify_nfaces=5000,
+            ),
+        ),
+    )
+    dataset = FlyingShapeDataset(args.root)
+
+    import time
+
+    results = {}
+    t0 = time.perf_counter()
+    results["matching"] = eval_matching(dataset, solver)
+    print(f"[matching done {time.perf_counter()-t0:.0f}s]", flush=True)
+    t0 = time.perf_counter()
+    results["relocalization"] = eval_relocalization(
+        dataset, solver, optim=False
+    )
+    print(f"[reloc done {time.perf_counter()-t0:.0f}s]", flush=True)
+    t0 = time.perf_counter()
+    results["reconstruction"] = eval_reconstruction(
+        dataset, solver,
+        gt_mesh_loader=lambda c, o: gt_meshes.get((c, o)),
+    )
+    print(f"[recon done {time.perf_counter()-t0:.0f}s]", flush=True)
+    print(json.dumps(results, indent=1, default=float))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=1, default=float)
+
+
+if __name__ == "__main__":
+    main()
