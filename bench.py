@@ -181,7 +181,7 @@ def main():
         "n_devices": n_dev,
         "mfu": round(mfu, 4) if mfu else None,
         "tflops_per_pair": round(tflops_per_pair, 3) if tflops_per_pair else None,
-        "optim_pairs_per_sec": optim_pairs_per_sec,
+        "optim_scene_pairs_per_sec": optim_pairs_per_sec,  # x8 = instance pairs/s
         "projected_v5e8": round(pairs_per_sec * 8 / n_dev, 1),
         "reference_measured_cpu_pairs_per_sec": ref_cpu,
     }

@@ -116,7 +116,9 @@ def fps_auto(points: Array, k: int, mask: Array | None = None):
     if platform != "tpu":
         return farthest_point_sampling(points, k, mask=mask)
     B, N, _ = points.shape
-    tile = 8 if B >= 8 else B
+    # Bigger batch tiles amortize the kernel's per-iteration loop overhead
+    # (selection steps are sequential; per-step work scales with TB).
+    tile = 32 if B >= 32 else (8 if B >= 8 else B)
     pad = (-B) % tile
     if pad:
         pts = jnp.concatenate(
