@@ -111,3 +111,26 @@ def test_fused_edge_mean_matches_xla():
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5
     )
+
+
+def test_pallas_flag_preserves_param_tree_and_cpu_outputs():
+    """pallas_attention=True must not change the parameter tree (checkpoint
+    compatibility) and must fall back to identical outputs off-TPU."""
+    from livingscenes_tpu.nn.vec_dgcnn_attn import VecDGCNNAttn
+
+    kw = dict(
+        c_dim=32, num_layers=4, feat_dim=(16, 16, 32, 32),
+        down_sample_layers=(2,), down_sample_factor=(2,),
+        atten_start_layer=2, atten_multi_head_c=8, num_knn=8,
+        scale_factor=10.0, approx_knn=False,
+    )
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(2, 64, 3)), jnp.float32
+    )
+    e1 = VecDGCNNAttn(**kw, pallas_attention=False)
+    e2 = VecDGCNNAttn(**kw, pallas_attention=True)
+    p1 = e1.init(jax.random.PRNGKey(0), x)
+    p2 = e2.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(p1) == jax.tree_util.tree_structure(p2)
+    for a, b in zip(e1.apply(p1, x), e2.apply(p1, x)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
