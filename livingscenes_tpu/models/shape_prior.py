@@ -210,6 +210,22 @@ class ShapePrior:
         """
         centroid = jnp.mean(pc, axis=1)  # (B, 3)
         centered = pc - centroid[:, None, :]
+        if (
+            self.config.pallas_attention
+            and not self.config.parity
+            and jax.devices()[0].platform == "tpu"
+            and pc.dtype == jnp.float32
+        ):
+            # VMEM-resident distance matrix + 5 global max-extractions
+            # (ops/pallas_scale.py) — skips the (B, N, N) HBM matrix and
+            # the top_k pass. Statistic is data (no grad), like the
+            # reference's no_grad normalization.
+            from ..ops.pallas_scale import top_k_mean_pairwise_distance
+
+            scale0 = top_k_mean_pairwise_distance(
+                jax.lax.stop_gradient(centered), 5
+            )
+            return centered / scale0[:, None, None], centroid, scale0
         d2 = jnp.sum(
             (centered[:, :, None, :] - centered[:, None, :, :]) ** 2, axis=-1
         )
