@@ -55,17 +55,15 @@ def _strip_prefixes(state_dict: Dict[str, np.ndarray]) -> Dict[str, Dict]:
             "pe_projector": pe}
 
 
-_CONVERT_DTYPE = np.float32
-
-
-def _to_np(v) -> np.ndarray:
+def _to_np(v, dtype=np.float32) -> np.ndarray:
     if hasattr(v, "detach"):
         v = v.detach().cpu().numpy()
-    return np.asarray(v, _CONVERT_DTYPE)
+    return np.asarray(v, dtype)
 
 
 def _convert_encoder(
-    sd: Dict[str, np.ndarray], res_global_start_layer: int = 2
+    sd: Dict[str, np.ndarray], res_global_start_layer: int = 2,
+    dtype=np.float32,
 ) -> Dict:
     out: Dict = {}
 
@@ -73,7 +71,7 @@ def _convert_encoder(
         node = out
         for p in path[:-1]:
             node = node.setdefault(p, {})
-        node[path[-1]] = _to_np(value)
+        node[path[-1]] = _to_np(value, dtype)
 
     for k, v in sd.items():
         parts = k.split(".")
@@ -93,7 +91,7 @@ def _convert_encoder(
     return out
 
 
-def _convert_decoder(sd: Dict[str, np.ndarray]) -> Dict:
+def _convert_decoder(sd: Dict[str, np.ndarray], dtype=np.float32) -> Dict:
     out: Dict = {}
     layers = sorted(
         {k.split(".")[0] for k in sd if k.startswith("lin")},
@@ -110,26 +108,26 @@ def _convert_decoder(sd: Dict[str, np.ndarray]) -> Dict:
         bias = sd.get(f"{name}.bias")
         if wn_v is not None:
             out[name] = {
-                "v": _to_np(wn_v).T,
-                "g": _to_np(wn_g).reshape(-1),
-                "b": _to_np(bias),
+                "v": _to_np(wn_v, dtype).T,
+                "g": _to_np(wn_g, dtype).reshape(-1),
+                "b": _to_np(bias, dtype),
             }
         else:
             out[name] = {
-                "kernel": _to_np(sd[f"{name}.weight"]).T,
-                "bias": _to_np(bias),
+                "kernel": _to_np(sd[f"{name}.weight"], dtype).T,
+                "bias": _to_np(bias, dtype),
             }
     return out
 
 
-def _convert_cls_head(sd: Dict[str, np.ndarray]) -> Dict:
+def _convert_cls_head(sd: Dict[str, np.ndarray], dtype=np.float32) -> Dict:
     """torch nn.Sequential(Linear, Sigmoid, Linear, Sigmoid, Linear)
     indices {0, 2, 4} -> flax lin{0, 1, 2} (model_utils.py:131-146)."""
     out: Dict = {}
     for k, v in sd.items():
         idx, kind = k.split(".")
         name = f"lin{int(idx) // 2}"
-        arr = _to_np(v)
+        arr = _to_np(v, dtype)
         if kind == "weight":
             out.setdefault(name, {})["kernel"] = arr.T
         else:
@@ -145,19 +143,19 @@ def torch_state_dict_to_params(
     """Full conversion: raw torch state dict -> {'encoder':..., 'decoder':...}
     (+ 'cls_head' when the checkpoint carries one). `dtype` controls the
     parameter precision (float64 for tight parity testing)."""
-    global _CONVERT_DTYPE
-    _CONVERT_DTYPE = dtype
     split = _strip_prefixes(state_dict)
     params = {
-        "encoder": _convert_encoder(split["encoder"], res_global_start_layer),
-        "decoder": _convert_decoder(split["decoder"]),
+        "encoder": _convert_encoder(
+            split["encoder"], res_global_start_layer, dtype
+        ),
+        "decoder": _convert_decoder(split["decoder"], dtype),
     }
     if split["cls_head"]:
-        params["cls_head"] = _convert_cls_head(split["cls_head"])
+        params["cls_head"] = _convert_cls_head(split["cls_head"], dtype)
     if split["pe_projector"]:
         # VecLinear weight keeps the torch (out, in[-1]) orientation
         params["pe_projector"] = {
-            k: _to_np(v) for k, v in split["pe_projector"].items()
+            k: _to_np(v, dtype) for k, v in split["pe_projector"].items()
         }
     return params
 

@@ -119,14 +119,17 @@ class SIM3Recon:
             [batch["points_uni"], batch["points_nss"]], axis=1
         )
         if cfg.rot_aug and rngs:
-            # Random SO(3) aug applied in train AND val phases; the query
-            # rotates with the input unless the decoder works in canonical
-            # space (sim3sdf_vanilla.py:269-275).
+            # Random SO(3) aug applied in train AND val phases
+            # (sim3sdf_vanilla.py:269-275). The reference skips rotating the
+            # query for decoder types that consume canonical-space raw
+            # queries; in this repo decode_sdf always routes through the
+            # invariant query (<q, z_so3>, ||q||), which is equivariant for
+            # EVERY decoder_type — so the query must always rotate with the
+            # input or SDF supervision is silently misaligned.
             R = se3.random_rotation(rngs["rot"], (inputs.shape[0],))
             R = R.astype(inputs.dtype)
             inputs = jnp.einsum("bij,bnj->bni", R, inputs)
-            if self.config.decoder_type not in ("deepsdf", "inv_mlp"):
-                query = jnp.einsum("bij,bnj->bni", R, query)
+            query = jnp.einsum("bij,bnj->bni", R, query)
         codes, pred_scale, centroid = self._encode_training(
             params, inputs, rngs.get("aug"), train
         )
@@ -197,7 +200,6 @@ class SIM3Recon:
             "scale_mean": jnp.mean(pred_scale),
             **cls_metrics,
         }
-        metrics["batch_loss"] = batch_loss
         return batch_loss, metrics
 
     def val_iou(self, params, batch: Dict[str, Array]) -> Array:

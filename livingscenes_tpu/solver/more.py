@@ -44,6 +44,7 @@ class MoreSolverConfig:
     # random starts); here restarts use random start points and the
     # lowest-Kabsch-residual candidate wins.
     n_init: int = 1
+    seed: int = 0  # base seed for the n_init random FPS restarts
     registration: RegistrationConfig = RegistrationConfig()
     mesh_extractor: MeshExtractorConfig = MeshExtractorConfig()
     code_optim: CodeOptimConfig = CodeOptimConfig()
@@ -62,6 +63,7 @@ class MoreSolver:
         self.model = model
         self.params = params
         self.cfg = config
+        self._restart_calls = 0  # advances the n_init restart rng per call
         self.mesh_extractor = MeshExtractor(
             lambda q, c: model.occupancy_logits(params, q, c),
             config.mesh_extractor,
@@ -105,14 +107,26 @@ class MoreSolver:
     def solve_pairwise_registration(
         self, pc1: Array, pc2: Array, optim: bool = False,
         codes1: Optional[Codes] = None, codes2: Optional[Codes] = None,
+        rng: Optional[Array] = None,
     ):
         """Registration pc1 -> pc2 on (B, N, 3) batches of pairs
-        (more_solver.py:95-189). Returns (R (B,3,3), t (B,3,1))."""
+        (more_solver.py:95-189). Returns (R (B,3,3), t (B,3,1)).
+
+        With n_init > 1, each pair gets n_init random-start FPS restarts
+        and the lowest-Kabsch-residual candidate wins — regardless of the
+        input point count (the reference replicates pairs through FPS
+        unconditionally, more_solver.py:107-108). Pass `rng` for
+        reproducible-but-distinct restarts; by default the key advances
+        with an internal call counter off cfg.seed.
+        """
         k = self.cfg.n_input_point
-        if self.cfg.n_init > 1 and (
-            pc1.shape[1] != k or pc2.shape[1] != k
-        ):
-            pc1, pc2, codes1, codes2 = self._best_fps_restart(pc1, pc2)
+        if self.cfg.n_init > 1:
+            if rng is None:
+                rng = jax.random.fold_in(
+                    jax.random.PRNGKey(self.cfg.seed), self._restart_calls
+                )
+                self._restart_calls += 1
+            pc1, pc2, codes1, codes2 = self._best_fps_restart(pc1, pc2, rng)
         if pc1.shape[1] != k:
             pc1, _ = farthest_point_sampling(pc1, k)
         if pc2.shape[1] != k:
@@ -124,7 +138,7 @@ class MoreSolver:
         fn = self._register_optim if optim else self._register
         return fn(pc1, pc2, codes1, codes2)
 
-    def _best_fps_restart(self, pc1: Array, pc2: Array):
+    def _best_fps_restart(self, pc1: Array, pc2: Array, rng: Array):
         """n_init FPS restarts per pair (random start points); keep the
         candidate whose Kabsch init has the lowest residual."""
         from .registration import kabsch_from_codes
@@ -132,9 +146,8 @@ class MoreSolver:
         k = self.cfg.n_input_point
         n = self.cfg.n_init
         B = pc1.shape[0]
-        key = jax.random.PRNGKey(0)
         starts = jax.random.randint(
-            key, (n, B), 0, min(pc1.shape[1], pc2.shape[1])
+            rng, (n, B), 0, min(pc1.shape[1], pc2.shape[1])
         )
 
         def one(start):

@@ -87,7 +87,13 @@ def _weighted_sampling(pcl, weight, n, rng):
     s = weight.sum()
     if s <= 0:
         return _uniform_sampling(pcl, n, rng)
-    return pcl[rng.choice(len(pcl), n, replace=True, p=weight / s)]
+    p = weight / s
+    # torch.multinomial samples WITHOUT replacement by default
+    # (shapenet_new2.py weighted_sampling) — mirror that whenever enough
+    # positive-weight points exist, else fall back to replacement.
+    if n <= np.count_nonzero(p):
+        return pcl[rng.choice(len(pcl), n, replace=False, p=p)]
+    return pcl[rng.choice(len(pcl), n, replace=True, p=p)]
 
 
 def _gaussian_hole_sampling(pcl, n, rng, cfg: SamplingAugConfig):

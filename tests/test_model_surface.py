@@ -107,13 +107,21 @@ def test_cls_head_converter_roundtrip():
     np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b), atol=0)
 
 
-def test_rot_aug_recon_loss_invariant():
-    """With an equivariant encoder and a decoder whose query rotates along
-    (decoder_type='inner_deepsdf' is NOT in the canonical-space list,
-    sim3sdf_vanilla.py:273-275), the recon losses are rotation-invariant:
-    rot_aug must not change them (f64, train=False so no dropout/center
-    noise)."""
-    cfg = ShapePriorConfig(**TINY)
+import pytest
+
+
+@pytest.mark.parametrize(
+    "decoder_type", ["inner_deepsdf", "deepsdf", "inner", "inv_mlp"]
+)
+def test_rot_aug_recon_loss_invariant(decoder_type):
+    """Every decoder_type in this repo decodes through the invariant query
+    (<q, z_so3>, ||q||), so with the query co-rotated (rot_aug always
+    rotates it here — unlike the reference's canonical-space exclusion
+    list, sim3sdf_vanilla.py:273-275, whose type names don't correspond to
+    canonical-space decoders in this repo) the recon losses are
+    rotation-invariant: rot_aug must not change them (f64, train=False so
+    no dropout/center noise)."""
+    cfg = ShapePriorConfig(**TINY, decoder_type=decoder_type)
     base = SIM3Recon(cfg, TrainLossConfig(rot_aug=False, center_aug_std=0.0))
     aug = SIM3Recon(cfg, TrainLossConfig(rot_aug=True, center_aug_std=0.0))
     params = f64(base.init_params(jax.random.PRNGKey(0)))
