@@ -62,13 +62,27 @@ class MeshExtractor:
         self,
         occupancy_logits_fn: Callable[[Array, Codes], Array],
         config: MeshExtractorConfig = MeshExtractorConfig(),
+        mesh=None,
+        shard_axis: str = "qp",
     ):
+        """`mesh`: optional jax.sharding.Mesh — grid queries are sharded
+        over its `shard_axis` so every chip decodes 1/n of the extraction
+        grid (the SURVEY §2.7 query-point sharding axis; replaces the
+        reference's host-side `points_batch_size` chunk loop,
+        mesh_extractor2.py:141-156)."""
         self.config = config
+        self.mesh = mesh
+        self.shard_axis = shard_axis
         self._logits_fn = occupancy_logits_fn
         self._grid_fn = jax.jit(self._compute_grid)
 
     def _compute_grid(self, codes: Codes) -> Array:
         cfg = self.config
+        mesh = (
+            self.mesh
+            if self.mesh is not None and self.mesh.devices.size > 1
+            else None
+        )
 
         def decode_one(pts: Array) -> Array:
             return self._logits_fn(pts[None], codes)[0]
@@ -83,6 +97,8 @@ class MeshExtractor:
                 chunk_size=cfg.points_batch_size,
                 refine_cap_factor=cfg.refine_cap_factor,
                 return_stats=True,
+                mesh=mesh,
+                shard_axis=self.shard_axis,
             )
             return values, stats["overflow"]
         values = dense_grid_values(
@@ -90,44 +106,15 @@ class MeshExtractor:
             resolution=cfg.final_resolution,
             box_size=cfg.box_size,
             chunk_size=cfg.points_batch_size,
+            mesh=mesh,
+            shard_axis=self.shard_axis,
         )
         return values, jnp.zeros((0,), jnp.int32)
 
     def extract_from_grid(self, value_grid: np.ndarray) -> Mesh:
         """Host: padded isosurface extraction + rescale + simplify
         (mesh_extractor2.py:158-215)."""
-        cfg = self.config
-        n = value_grid.shape[0]
-        thr = cfg.logit_threshold
-        if (value_grid > thr).all() or (value_grid <= thr).all():
-            # Degenerate field: the whole box is one-sided (e.g. a noisy /
-            # scale-collapsed code). The -1e6 padding would turn this into
-            # a 2(n-1)^2*6-face boundary box and stall QEM simplification;
-            # surface extraction is meaningless here, so return empty and
-            # say why. (The reference would emit the box,
-            # mesh_extractor2.py:173-174 — a pathological stall at scale.)
-            logging.getLogger(__name__).warning(
-                "value grid is uniformly %s the iso-threshold — returning "
-                "an empty mesh (degenerate code?)",
-                "above" if (value_grid > thr).all() else "below",
-            )
-            return Mesh(
-                np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int64)
-            )
-        padded = np.pad(
-            value_grid.astype(np.float32), 1, constant_values=-1e6
-        )
-        verts, faces = marching_isosurface(padded, cfg.logit_threshold)
-        if len(verts) == 0:
-            return Mesh(
-                np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int64)
-            )
-        verts = verts - 1.0  # undo padding
-        verts = verts / (n - 1)
-        verts = cfg.box_size * (verts - 0.5)
-        if cfg.simplify_nfaces is not None and len(faces) > cfg.simplify_nfaces:
-            verts, faces = simplify_mesh(verts, faces, cfg.simplify_nfaces)
-        return Mesh(verts, faces)
+        return extract_mesh_from_grid(value_grid, self.config)
 
     def generate_from_codes(self, codes: Codes) -> Mesh:
         """Mesh one instance: zero out s/t so extraction happens in the
@@ -167,3 +154,36 @@ class MeshExtractor:
         for i in range(B):
             meshes.append(self.generate_from_codes(slice_codes(codes, i)))
         return meshes
+
+
+def extract_mesh_from_grid(
+    value_grid: np.ndarray, cfg: MeshExtractorConfig = MeshExtractorConfig()
+) -> Mesh:
+    """Host: padded isosurface extraction + rescale + simplify of a
+    (n, n, n) occupancy-logit grid (mesh_extractor2.py:158-215). Used both
+    by MeshExtractor and by the end-to-end pipeline's host stage."""
+    n = value_grid.shape[0]
+    thr = cfg.logit_threshold
+    if (value_grid > thr).all() or (value_grid <= thr).all():
+        # Degenerate field: the whole box is one-sided (e.g. a noisy /
+        # scale-collapsed code). The -1e6 padding would turn this into
+        # a 2(n-1)^2*6-face boundary box and stall QEM simplification;
+        # surface extraction is meaningless here, so return empty and
+        # say why. (The reference would emit the box,
+        # mesh_extractor2.py:173-174 — a pathological stall at scale.)
+        logging.getLogger(__name__).warning(
+            "value grid is uniformly %s the iso-threshold — returning "
+            "an empty mesh (degenerate code?)",
+            "above" if (value_grid > thr).all() else "below",
+        )
+        return Mesh(np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int64))
+    padded = np.pad(value_grid.astype(np.float32), 1, constant_values=-1e6)
+    verts, faces = marching_isosurface(padded, cfg.logit_threshold)
+    if len(verts) == 0:
+        return Mesh(np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int64))
+    verts = verts - 1.0  # undo padding
+    verts = verts / (n - 1)
+    verts = cfg.box_size * (verts - 0.5)
+    if cfg.simplify_nfaces is not None and len(faces) > cfg.simplify_nfaces:
+        verts, faces = simplify_mesh(verts, faces, cfg.simplify_nfaces)
+    return Mesh(verts, faces)

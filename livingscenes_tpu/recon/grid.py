@@ -55,16 +55,53 @@ def _chunked_eval(
     return vals.reshape(padded)[:n]
 
 
+def _eval_points(
+    decode: Callable[[Array], Array],
+    pts: Array,
+    chunk_size: int,
+    mesh=None,
+    axis: str = "qp",
+) -> Array:
+    """Point evaluation, optionally query-sharded over a device mesh.
+
+    With a mesh, each device evaluates its 1/n slice of the padded point
+    set in local fixed-size chunks (shard_map; decode's captured
+    codes/params are replicated, no collectives) — the multi-chip analog
+    of the reference's `points_batch_size` host chunk loop
+    (mesh_extractor2.py:141-156). Works both eagerly and inside jit.
+    """
+    if mesh is None or mesh.devices.size <= 1:
+        return _chunked_eval(decode, pts, chunk_size)
+    from jax.sharding import PartitionSpec as P
+
+    n_dev = mesh.devices.size
+    n = pts.shape[0]
+    padded = -(-n // n_dev) * n_dev
+    pts_p = jnp.pad(pts, ((0, padded - n), (0, 0)))
+    local = jax.shard_map(
+        lambda p: _chunked_eval(decode, p, chunk_size),
+        mesh=mesh,
+        in_specs=P(axis),
+        out_specs=P(axis),
+    )
+    return local(pts_p)[:n]
+
+
 def dense_grid_values(
     decode: Callable[[Array], Array],
     resolution: int,
     box_size: float = 1.1,
     chunk_size: int = 65536,
     dtype=jnp.float32,
+    mesh=None,
+    shard_axis: str = "qp",
 ) -> Array:
-    """Dense (res+1)^3 value grid. `decode`: (M, 3) -> (M,) field values."""
+    """Dense (res+1)^3 value grid. `decode`: (M, 3) -> (M,) field values.
+
+    With `mesh`, the query points are sharded over its `shard_axis`.
+    """
     pts = grid_coordinates(resolution, box_size, dtype)
-    vals = _chunked_eval(decode, pts, chunk_size)
+    vals = _eval_points(decode, pts, chunk_size, mesh, shard_axis)
     n = resolution + 1
     return vals.reshape(n, n, n)
 
@@ -103,6 +140,48 @@ def sharded_dense_grid_values(
     vals = sharded_eval(pts)
     n = resolution + 1
     return vals[:n_pts].reshape(n, n, n)
+
+
+def batched_hierarchical_grid_values(
+    logits_fn: Callable[[Array, dict], Array],
+    codes: dict,
+    resolution0: int = 32,
+    upsampling_steps: int = 2,
+    threshold: float = 0.0,
+    box_size: float = 1.1,
+    chunk_size: int = 65536,
+    refine_cap_factor: int = 24,
+    dtype=jnp.float32,
+):
+    """Coarse-to-fine value grids for a BATCH of instances in one program.
+
+    `logits_fn(query (B, M, 3), codes) -> (B, M)` is the batched field
+    (e.g. ShapePrior.occupancy_logits closed over params); `codes` is a
+    codes pytree with leading batch axis B. Returns
+    (values (B, n, n, n), overflow (B, steps)) — the vmapped equivalent of
+    `hierarchical_grid_values` per instance, which is what the end-to-end
+    pipeline's reconstruction stage runs for every matched instance of
+    every scene pair at once (replacing the reference's per-instance MISE
+    loop, mesh_extractor2.py:109-125).
+    """
+
+    def one(codes_i):
+        decode = lambda pts: logits_fn(pts[None], jax.tree.map(
+            lambda x: x[None], codes_i))[0]
+        values, stats = hierarchical_grid_values(
+            decode,
+            resolution0=resolution0,
+            upsampling_steps=upsampling_steps,
+            threshold=threshold,
+            box_size=box_size,
+            chunk_size=chunk_size,
+            refine_cap_factor=refine_cap_factor,
+            dtype=dtype,
+            return_stats=True,
+        )
+        return values, stats["overflow"]
+
+    return jax.vmap(one)(codes)
 
 
 def _double_resolution(v: Array) -> Array:
@@ -188,6 +267,8 @@ def hierarchical_grid_values(
     refine_cap_factor: int = 24,
     dtype=jnp.float32,
     return_stats: bool = False,
+    mesh=None,
+    shard_axis: str = "qp",
 ):
     """Coarse-to-fine grid evaluation (MISE-equivalent, fixed shapes).
 
@@ -203,7 +284,9 @@ def hierarchical_grid_values(
     (0 everywhere means the cap never bit; a pathological/noisy code is
     visible instead of silently producing a degraded mesh).
     """
-    values = dense_grid_values(decode, resolution0, box_size, chunk_size, dtype)
+    values = dense_grid_values(
+        decode, resolution0, box_size, chunk_size, dtype, mesh, shard_axis
+    )
     res = resolution0
     overflow = []
     for _ in range(upsampling_steps):
@@ -227,7 +310,7 @@ def hierarchical_grid_values(
         pts = (
             jnp.stack([ii, jj, kk], axis=-1).astype(dtype) / res - 0.5
         ) * box_size
-        vals = _chunked_eval(decode, pts, chunk_size)
+        vals = _eval_points(decode, pts, chunk_size, mesh, shard_axis)
         flat = v_up.reshape(-1)
         new_flat = flat.at[top_idx].set(
             jnp.where(jnp.isfinite(top_score), vals, flat[top_idx])

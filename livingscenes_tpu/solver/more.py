@@ -59,7 +59,11 @@ class MoreSolver:
         model: ShapePrior,
         params,
         config: MoreSolverConfig = MoreSolverConfig(),
+        mesh=None,
     ):
+        """`mesh`: optional jax.sharding.Mesh — reconstruction grid
+        queries are sharded over its devices (query-point sharding,
+        SURVEY §2.7)."""
         self.model = model
         self.params = params
         self.cfg = config
@@ -67,6 +71,7 @@ class MoreSolver:
         self.mesh_extractor = MeshExtractor(
             lambda q, c: model.occupancy_logits(params, q, c),
             config.mesh_extractor,
+            mesh=mesh,
         )
         self._encode = jax.jit(lambda pc: model.encode(params, pc))
         self._encode_fps = jax.jit(

@@ -5,24 +5,35 @@ instances (More_Solver._solve_end2end, lib_more/more_solver.py:246-299) and
 its only parallelism is single-host DataParallel during training
 (model_base.py:221-227). Here the whole pipeline
 
-    encode all instances of S scene pairs -> per-scene sequential matching
-    -> batched Kabsch + ICP (+ optional 400-step SE(3) refinement)
+    FPS-downsample every padded instance cloud (model_utils.py:199-215)
+    -> encode all instances of S scene pairs -> per-scene sequential
+    matching -> batched Kabsch + ICP (+ optional 400-step SE(3)
+    refinement) -> equivariant code transport (more_solver.py:287-294)
+    -> canonical-frame occupancy grids for every matched instance
+    (mesh_extractor2.py:109-125 MISE loop, here coarse-to-fine on device)
 
 is ONE XLA program whose scene axis is sharded over a `jax.sharding.Mesh`
 ("dp"): parameters are replicated, every device processes S/n_dev scene
 pairs, and no cross-scene communication exists, so throughput scales
-linearly over ICI. This is the program bench.py measures and
-__graft_entry__.dryrun_multichip validates on a virtual mesh.
+linearly over ICI. Host-side isosurface extraction + simplification
+(native C++) consume the returned grids (`extract_scene_meshes`). This is
+the program bench.py measures and __graft_entry__.dryrun_multichip
+validates on a virtual mesh.
 """
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
+import math
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from .. import se3
+from ..models.shape_prior import transform_codes
+from ..ops.pallas_fps import fps_auto
+from ..recon.grid import batched_hierarchical_grid_values
 from .matcher import sequential_matcher
 from .registration import RegistrationConfig, solve_pairwise_registration
 
@@ -33,6 +44,24 @@ Array = jax.Array
 class PipelineConfig:
     optim: bool = False  # run the 400-step SE(3) refinement per pair
     registration: RegistrationConfig = RegistrationConfig()
+    # Front end: inputs are full padded per-instance clouds + validity
+    # masks; each instance is FPS-downsampled to the encoder input size
+    # first (the reference's per-instance fps loop, model_utils.py:199-215
+    # / more_solver.py:249-261).
+    encode_fps: bool = False
+    # Reconstruction stage: transport each matched rescan code into the
+    # ref frame and evaluate its canonical-frame occupancy-logit grid
+    # (more_solver.py:287-295 + the MISE loop) inside the same program.
+    recon: bool = False
+    recon_resolution0: int = 32  # configs/more_3rscan.yaml:22
+    recon_upsampling_steps: int = 2  # configs/more_3rscan.yaml:23
+    recon_threshold: float = 0.5
+    recon_box_size: float = 1.1
+    recon_cap_factor: int = 24
+    # Per-instance query chunk for the batched grid decode. Sized so the
+    # widest decoder activation (chunk x B_instances x 768) stays well
+    # under HBM when all instances of all local scenes decode at once.
+    recon_chunk: int = 4096
 
 
 def build_scene_pair_pipeline(
@@ -43,21 +72,40 @@ def build_scene_pair_pipeline(
 ):
     """Compile the scene-pair pipeline, optionally sharded over `mesh`.
 
-    Returns a function (params, ref_pc, rescan_pc) -> dict with
+    Returns a function
+        (params, ref_pc, rescan_pc[, ref_mask, rescan_mask]) -> dict
+    with
       matches0 (S, O)   per-scene matching of ref -> rescan instances
       R (S, O, 3, 3), t (S, O, 3, 1)   registration of every ref instance
         to its matched rescan partner (unmatched rows still computed
-        against partner 0; mask with matches0 >= 0).
+        against partner 0; mask with matches0 >= 0)
+      and, when cfg.recon:
+      grids (S, O, n, n, n)  canonical-frame occupancy-logit grids of the
+        transported rescan codes (n = res0 * 2^steps + 1)
+      grid_overflow (S, O, steps), recon_s (S, O), recon_t (S, O, 3)
+        scale/translation to re-apply to extracted meshes
+        (more_solver.py:45-57).
 
-    ref_pc / rescan_pc: (S, O, N, 3) batched scene pairs. When `mesh` is
-    given, S must be divisible by the mesh size; inputs are sharded on the
-    scene axis and params replicated.
+    ref_pc / rescan_pc: (S, O, N, 3) batched scene pairs; with
+    cfg.encode_fps also pass masks (S, O, N) and N may exceed the encoder
+    input size. When `mesh` is given, S must be divisible by the mesh
+    size; inputs are sharded on the scene axis and params replicated.
     """
 
-    def pipeline(params, ref_pc: Array, rescan_pc: Array):
+    def pipeline(params, ref_pc: Array, rescan_pc: Array,
+                 ref_mask: Optional[Array] = None,
+                 rescan_mask: Optional[Array] = None):
         S, O, N, _ = ref_pc.shape
         flat_ref = ref_pc.reshape(S * O, N, 3)
         flat_res = rescan_pc.reshape(S * O, N, 3)
+        if cfg.encode_fps:
+            k = model.config.n_pcl
+            flat_ref, _ = fps_auto(
+                flat_ref, k, mask=ref_mask.reshape(S * O, N)
+            )
+            flat_res, _ = fps_auto(
+                flat_res, k, mask=rescan_mask.reshape(S * O, N)
+            )
         # two encoder calls (measured marginally faster than one 2x-batch
         # call at the operating point — smaller kNN working sets)
         codes_ref = model.encode(params, flat_ref)
@@ -79,19 +127,88 @@ def build_scene_pair_pipeline(
             model, params, flat_ref, pc2, codes_ref, c2,
             optim=cfg.optim, cfg=cfg.registration,
         )
-        return {
+        out = {
             "matches0": matches,
             "R": R.reshape(S, O, 3, 3),
             "t": t.reshape(S, O, 3, 1),
         }
+        if cfg.recon:
+            # Transport the matched rescan code into the ref frame with the
+            # inverse of the estimated transform (more_solver.py:287-294),
+            # then evaluate its canonical-frame grid (s=1, t=0; scale and
+            # translation are re-applied to the extracted mesh on host,
+            # more_solver.py:45-57).
+            tsfm = se3.rt_to_se3(R, t)
+            transported = transform_codes(c2, se3.inverse(tsfm))
+            canonical = dict(
+                transported,
+                s=jnp.ones_like(transported["s"]),
+                t=jnp.zeros_like(transported["t"]),
+            )
+            thr = cfg.recon_threshold
+            logit_thr = math.log(thr) - math.log(1.0 - thr)
+            grids, overflow = batched_hierarchical_grid_values(
+                lambda q, c: model.occupancy_logits(params, q, c),
+                canonical,
+                resolution0=cfg.recon_resolution0,
+                upsampling_steps=cfg.recon_upsampling_steps,
+                threshold=logit_thr,
+                box_size=cfg.recon_box_size,
+                chunk_size=cfg.recon_chunk,
+                refine_cap_factor=cfg.recon_cap_factor,
+            )
+            n = grids.shape[-1]
+            out["grids"] = grids.reshape(S, O, n, n, n)
+            out["grid_overflow"] = overflow.reshape(S, O, -1)
+            out["recon_s"] = transported["s"].reshape(S, O)
+            out["recon_t"] = transported["t"].reshape(S, O, 3)
+        return out
 
     if mesh is None:
         return jax.jit(pipeline)
-
     repl = NamedSharding(mesh, P())
-    scene_sharded = NamedSharding(mesh, P(axis))
+    sharded = NamedSharding(mesh, P(axis))
+    n_in = 5 if cfg.encode_fps else 3
     return jax.jit(
         pipeline,
-        in_shardings=(repl, scene_sharded, scene_sharded),
-        out_shardings=NamedSharding(mesh, P(axis)),
+        in_shardings=(repl,) + (sharded,) * (n_in - 1),
+        out_shardings=sharded,
     )
+
+
+def extract_scene_meshes(
+    out: dict, extractor_config=None
+) -> List[List[Optional[object]]]:
+    """Host stage: meshes for every matched instance from pipeline output.
+
+    Runs native isosurface extraction + quadric simplification per grid
+    and re-applies the transported code's scale/translation
+    (More_Solver._solve_end2end tail + _mesh_from_latent,
+    more_solver.py:295 / :45-57). Returns [scene][instance] -> Mesh or
+    None for unmatched instances.
+    """
+    import numpy as np
+
+    from ..recon.extractor import MeshExtractorConfig, extract_mesh_from_grid
+
+    cfg = extractor_config or MeshExtractorConfig()
+    matches = np.asarray(out["matches0"])
+    grids = np.asarray(out["grids"])
+    s = np.asarray(out["recon_s"])
+    t = np.asarray(out["recon_t"])
+    S, O = matches.shape
+    meshes: List[List[Optional[object]]] = []
+    for i in range(S):
+        row: List[Optional[object]] = []
+        for j in range(O):
+            if matches[i, j] < 0:
+                row.append(None)
+                continue
+            mesh = extract_mesh_from_grid(grids[i, j], cfg)
+            if not mesh.is_empty:
+                mesh.apply_scale_translation(
+                    float(s[i, j]), t[i, j].reshape(3)
+                )
+            row.append(mesh)
+        meshes.append(row)
+    return meshes

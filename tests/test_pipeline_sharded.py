@@ -79,9 +79,11 @@ def test_sharded_matches_single_device(setup):
     assert len(shard_devs) == 8
 
 
-def test_sharded_optim_path_compiles(setup):
-    """The optim=True (400-step refine) variant also runs sharded; use a
-    short schedule to keep the test fast."""
+def test_sharded_optim_path_matches_single_device(setup):
+    """The optim=True (400-step refine) production relocalization variant:
+    8-device == 1-device EQUALITY (not just finiteness); short schedule to
+    keep the test fast — the program structure (refine scan + Sinkhorn +
+    ICP) is the production one."""
     model, params, ref, rescan = setup
     cfg = PipelineConfig(
         optim=True,
@@ -90,11 +92,93 @@ def test_sharded_optim_path_compiles(setup):
             use_icp=True, icp_iterations=2,
         ),
     )
+    single = build_scene_pair_pipeline(model, cfg)
+    out_single = single(params, ref, rescan)
+
     mesh = make_mesh(jax.devices()[:8], axis_names=("dp",))
     sharded = build_scene_pair_pipeline(model, cfg, mesh=mesh)
-    out = sharded(params, ref[:8], rescan[:8])
-    assert np.all(np.isfinite(np.asarray(out["R"])))
-    assert np.all(np.isfinite(np.asarray(out["t"])))
+    out_sharded = sharded(params, ref, rescan)
+
+    np.testing.assert_array_equal(
+        np.asarray(out_single["matches0"]),
+        np.asarray(out_sharded["matches0"]),
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_single["R"]), np.asarray(out_sharded["R"]), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_single["t"]), np.asarray(out_sharded["t"]), atol=1e-5
+    )
+    shard_devs = {s.device for s in out_sharded["R"].addressable_shards}
+    assert len(shard_devs) == 8
+
+
+def test_full_end2end_sharded_matches_single_device(setup):
+    """The COMPLETE _solve_end2end program (encode_fps front end -> match
+    -> register -> code transport -> hierarchical occupancy grids): 8-dev
+    == 1-dev on every output, grids included."""
+    model, params, ref, rescan = setup
+    cfg = PipelineConfig(
+        registration=RegistrationConfig(use_icp=True, icp_iterations=3),
+        encode_fps=True,
+        recon=True,
+        recon_resolution0=8,
+        recon_upsampling_steps=1,
+        recon_chunk=512,
+    )
+    mask = jnp.ones((S, O, N), bool)
+    single = build_scene_pair_pipeline(model, cfg)
+    out_single = single(params, ref, rescan, mask, mask)
+
+    mesh = make_mesh(jax.devices()[:8], axis_names=("dp",))
+    sharded = build_scene_pair_pipeline(model, cfg, mesh=mesh)
+    out_sharded = sharded(params, ref, rescan, mask, mask)
+
+    np.testing.assert_array_equal(
+        np.asarray(out_single["matches0"]),
+        np.asarray(out_sharded["matches0"]),
+    )
+    for key in ("R", "t", "grids", "recon_s", "recon_t"):
+        np.testing.assert_allclose(
+            np.asarray(out_single[key]),
+            np.asarray(out_sharded[key]),
+            atol=2e-5,
+            err_msg=key,
+        )
+    shard_devs = {s.device for s in out_sharded["grids"].addressable_shards}
+    assert len(shard_devs) == 8
+
+
+def test_extract_scene_meshes_shapes(setup):
+    """Host mesh stage consumes pipeline output: one row per scene, None
+    for unmatched instances, Mesh objects otherwise."""
+    from livingscenes_tpu.recon.extractor import MeshExtractorConfig
+    from livingscenes_tpu.solver.pipeline import extract_scene_meshes
+
+    model, params, ref, rescan = setup
+    cfg = PipelineConfig(
+        registration=RegistrationConfig(use_icp=False),
+        recon=True,
+        recon_resolution0=8,
+        recon_upsampling_steps=0,
+        recon_chunk=512,
+    )
+    pipe = build_scene_pair_pipeline(model, cfg)
+    out = pipe(params, ref[:2], rescan[:2])
+    meshes = extract_scene_meshes(
+        out,
+        MeshExtractorConfig(
+            resolution0=8, upsampling_steps=0, simplify_nfaces=None
+        ),
+    )
+    assert len(meshes) == 2 and len(meshes[0]) == O
+    m0 = np.asarray(out["matches0"])
+    for i in range(2):
+        for j in range(O):
+            if m0[i, j] < 0:
+                assert meshes[i][j] is None
+            else:
+                assert hasattr(meshes[i][j], "vertices")
 
 
 def test_sharded_grid_values_match_dense():
@@ -117,3 +201,36 @@ def test_sharded_grid_values_match_dense():
     )
     shard_devs = {s.device for s in sharded.addressable_shards}
     assert len(shard_devs) >= 1  # assembled grid; values proven equal
+
+
+def test_mesh_extractor_qp_sharded_matches_unsharded(setup):
+    """MeshExtractor with a qp mesh (hierarchical path, the production
+    extraction config shape) == the unsharded extractor — the wiring of
+    query-point sharding into the actual product path, not just the
+    standalone grid helper."""
+    from livingscenes_tpu.recon.extractor import (
+        MeshExtractor,
+        MeshExtractorConfig,
+    )
+
+    model, params, ref, _ = setup
+    codes = model.encode(params, ref[0])
+    one = jax.tree.map(lambda x: x[:1], codes)
+
+    ext_cfg = MeshExtractorConfig(
+        resolution0=8, upsampling_steps=1, simplify_nfaces=None,
+        points_batch_size=512,
+    )
+    logits = lambda q, c: model.occupancy_logits(params, q, c)
+    plain = MeshExtractor(logits, ext_cfg)
+    qp_mesh = make_mesh(jax.devices()[:8], axis_names=("qp",))
+    shard = MeshExtractor(logits, ext_cfg, mesh=qp_mesh)
+
+    canonical = dict(
+        one, s=jnp.ones_like(one["s"]), t=jnp.zeros_like(one["t"])
+    )
+    g0, _ = plain._grid_fn(canonical)
+    g1, _ = shard._grid_fn(canonical)
+    np.testing.assert_allclose(
+        np.asarray(g0), np.asarray(g1), atol=2e-5
+    )
