@@ -12,9 +12,21 @@ SPMD over a `jax.sharding.Mesh`:
 
 Collectives ride ICI when the mesh follows the physical torus; a second
 mesh dimension can map "dp" across DCN for multi-pod training.
+
+Multi-host stance: the north-star deployment is a single v5e-8 host —
+the model is ~7M params and every workload axis (scenes, instances,
+query points, train batch) shards data-parallel with zero collectives,
+so one host's ICI domain is the natural scaling unit and nothing in the
+design requires DCN. For larger fleets, `initialize_distributed()` below
+wires `jax.distributed.initialize` so `jax.devices()` spans all hosts;
+`make_mesh` then builds a global mesh and every sharded program in this
+repo works unchanged (each host feeds its addressable shard of the
+batch). This path is provided and guarded but intentionally untested
+here: the environment has one host (SURVEY.md §2.7 DCN remark).
 """
 from __future__ import annotations
 
+import logging
 from typing import Optional, Sequence
 
 import jax
@@ -22,6 +34,49 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 Array = jax.Array
+
+log = logging.getLogger(__name__)
+
+
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> bool:
+    """Guarded multi-host initialization (DCN / multi-process JAX).
+
+    Call once before any jax op on each host of a multi-host fleet; on a
+    single host (or if already initialized) this is a logged no-op and
+    returns False. With TPU pod metadata available, argument-free
+    `jax.distributed.initialize()` auto-discovers the topology.
+    """
+    try:
+        if jax.process_count() > 1:
+            return True  # already initialized
+    except Exception:
+        pass
+    if coordinator_address is None and num_processes is None:
+        # Auto-discovery only makes sense on real multi-host TPU pods
+        # (TPU_WORKER_HOSTNAMES lists >1 workers there).
+        import os
+
+        hosts = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+        if len([h for h in hosts.split(",") if h]) <= 1:
+            log.info(
+                "single-host environment: skipping "
+                "jax.distributed.initialize"
+            )
+            return False
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+        return True
+    except Exception as e:  # pragma: no cover - depends on fleet env
+        log.warning("jax.distributed.initialize failed: %s", e)
+        return False
 
 
 def make_mesh(

@@ -37,6 +37,10 @@ class MeshExtractorConfig:
     points_batch_size: int = 65536
     use_hierarchical: bool = True
     refine_cap_factor: int = 24
+    # Gradient-based vertex refinement (mesh_extractor2.py:245-302);
+    # 0 in every reference config, but part of the reference surface.
+    refinement_step: int = 0
+    refinement_lr: float = 1e-4
 
     @property
     def logit_threshold(self) -> float:
@@ -141,6 +145,18 @@ class MeshExtractor:
         mesh = self.extract_from_grid(grid)
         if mesh.is_empty:
             return mesh
+        if self.config.refinement_step > 0:
+            mesh.vertices = np.asarray(
+                refine_mesh_vertices(
+                    self._logits_fn,
+                    canonical,
+                    mesh.vertices,
+                    mesh.faces,
+                    n_steps=self.config.refinement_step,
+                    threshold=self.config.threshold,
+                    lr=self.config.refinement_lr,
+                )
+            )
         mesh.apply_scale_translation(scale, center)
         return mesh
 
@@ -154,6 +170,75 @@ class MeshExtractor:
         for i in range(B):
             meshes.append(self.generate_from_codes(slice_codes(codes, i)))
         return meshes
+
+
+def refine_mesh_vertices(
+    occupancy_logits_fn,
+    codes: Codes,
+    vertices: np.ndarray,
+    faces: np.ndarray,
+    n_steps: int,
+    threshold: float = 0.5,
+    lr: float = 1e-4,
+    rng: Optional[Array] = None,
+) -> Array:
+    """Gradient-based vertex refinement (mesh_extractor2.py:245-302).
+
+    Each step samples a Dirichlet(0.5) barycentric point per face, pulls
+    its occupancy probability toward `threshold`, and aligns the face
+    normal with the (negated) occupancy gradient; vertices are optimized
+    with RMSprop(lr=1e-4). The reference's per-iteration Python loop over
+    `refinement_step` torch steps becomes one fixed-length `lax.scan`; the
+    second-order term (normal target differentiates through the field
+    gradient, create_graph=True at mesh_extractor2.py:287) is a nested
+    `jax.grad`. Vertices/codes stay in the canonical extraction frame
+    (scale/translation are applied after refinement, as in the reference
+    where refinement precedes no further rescale).
+    """
+    import optax
+
+    v0 = jnp.asarray(vertices, jnp.float32)
+    f = jnp.asarray(faces, jnp.int32)
+    key = rng if rng is not None else jax.random.PRNGKey(0)
+    opt = optax.rmsprop(lr)
+
+    def value_of(pts):
+        return jax.nn.sigmoid(occupancy_logits_fn(pts[None], codes)[0])
+
+    def loss_fn(v, eps):
+        face_vertex = v[f]  # (F, 3, 3)
+        face_point = jnp.sum(face_vertex * eps[:, :, None], axis=1)
+        v1 = face_vertex[:, 1] - face_vertex[:, 0]
+        v2 = face_vertex[:, 2] - face_vertex[:, 1]
+        normal = jnp.cross(v1, v2)
+        normal = normal / (
+            jnp.linalg.norm(normal, axis=1, keepdims=True) + 1e-10
+        )
+        face_value = value_of(face_point)
+        target = -jax.grad(lambda p: jnp.sum(value_of(p)))(face_point)
+        target = target / (
+            jnp.linalg.norm(target, axis=1, keepdims=True) + 1e-10
+        )
+        loss_target = jnp.mean((face_value - threshold) ** 2)
+        loss_normal = jnp.mean(jnp.sum((normal - target) ** 2, axis=1))
+        return loss_target + 0.01 * loss_normal
+
+    @jax.jit
+    def run(v0, key):
+        def step(carry, k):
+            v, opt_state = carry
+            eps = jax.random.dirichlet(
+                k, jnp.full((3,), 0.5), (f.shape[0],)
+            )
+            g = jax.grad(loss_fn)(v, eps)
+            updates, opt_state = opt.update(g, opt_state)
+            return (optax.apply_updates(v, updates), opt_state), None
+
+        keys = jax.random.split(key, n_steps)
+        (v, _), _ = jax.lax.scan(step, (v0, opt.init(v0)), keys)
+        return v
+
+    return run(v0, key)
 
 
 def extract_mesh_from_grid(

@@ -82,6 +82,45 @@ def _smooth_l1(x: Array, beta: float = 1.0) -> Array:
     )
 
 
+def make_refine_loss(
+    decode_sdf,
+    src_pc: Array,
+    tgt_pc: Array,
+    shared_codes: Codes,
+    R0: Array,
+    t0: Array,
+    cfg: RegistrationConfig = RegistrationConfig(),
+):
+    """Build (apply_g, loss_fn) for the SE(3) refinement objective.
+
+    Exposed separately so bench.py can cost-analyze ONE gradient step:
+    XLA's `cost_analysis` counts a `lax.scan` body exactly once regardless
+    of trip count, so the 400-step program's true FLOPs are
+    F(program) + (n_steps - 1) * F(grad step).
+    """
+
+    def apply_g(xi, pts):
+        g = se3.se3_exp(xi)  # (B, 3, 4)
+        R = g[..., :3, :3] @ R0
+        t = g[..., :3, :3] @ t0 + g[..., :3, 3:]
+        return jnp.matmul(pts, jnp.swapaxes(R, -1, -2)) + jnp.swapaxes(
+            t, -1, -2
+        ), (R, t)
+
+    def loss_fn(xi):
+        moved, _ = apply_g(xi, src_pc)
+        sdf = decode_sdf(moved, shared_codes)
+        sdf_loss = jax.vmap(_smooth_l1)(sdf)  # (B,)
+        ot = sinkhorn_divergence(
+            moved, tgt_pc, blur=cfg.sinkhorn_blur, iters=cfg.sinkhorn_iters,
+            anneal=cfg.sinkhorn_anneal, diameter=cfg.sinkhorn_diameter,
+        )
+        per_item = sdf_loss + ot
+        return jnp.sum(per_item), per_item
+
+    return apply_g, loss_fn
+
+
 def refine_se3(
     decode_sdf,
     src_pc: Array,
@@ -112,24 +151,9 @@ def refine_se3(
 
     xi0 = jnp.zeros((B, 6), dtype)
 
-    def apply_g(xi, pts):
-        g = se3.se3_exp(xi)  # (B, 3, 4)
-        R = g[..., :3, :3] @ R0
-        t = g[..., :3, :3] @ t0 + g[..., :3, 3:]
-        return jnp.matmul(pts, jnp.swapaxes(R, -1, -2)) + jnp.swapaxes(
-            t, -1, -2
-        ), (R, t)
-
-    def loss_fn(xi):
-        moved, _ = apply_g(xi, src_pc)
-        sdf = decode_sdf(moved, shared_codes)
-        sdf_loss = jax.vmap(_smooth_l1)(sdf)  # (B,)
-        ot = sinkhorn_divergence(
-            moved, tgt_pc, blur=cfg.sinkhorn_blur, iters=cfg.sinkhorn_iters,
-            anneal=cfg.sinkhorn_anneal, diameter=cfg.sinkhorn_diameter,
-        )
-        per_item = sdf_loss + ot
-        return jnp.sum(per_item), per_item
+    apply_g, loss_fn = make_refine_loss(
+        decode_sdf, src_pc, tgt_pc, shared_codes, R0, t0, cfg
+    )
 
     grad_fn = jax.grad(loss_fn, has_aux=True)
 

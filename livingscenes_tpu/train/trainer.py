@@ -211,8 +211,28 @@ class Trainer:
                 if k in metrics and not np.isfinite(float(metrics[k]))
             ]
             if bad:
+                # Localize WHICH submodule goes non-finite (the reference's
+                # per-module naninf forward hooks, solver_utils.py:5-54):
+                # eager encoder forward with the interceptor probe.
+                located = []
+                try:
+                    from ..utils.debugging import locate_nonfinite_modules
+
+                    inputs = batch["inputs"]
+                    centered = inputs - jnp.mean(
+                        inputs, axis=1, keepdims=True
+                    )
+                    _, located = locate_nonfinite_modules(
+                        self.model.prior.encoder,
+                        {"params": state.params["encoder"]},
+                        centered,
+                    )
+                except Exception:  # probe is best-effort diagnostics
+                    pass
                 raise RuntimeError(
-                    f"anomaly mode: non-finite {bad} at step {state.step}"
+                    f"anomaly mode: non-finite {bad} at step {state.step};"
+                    f" offending submodules: "
+                    f"{located or 'none located in encoder (check decoder/loss)'}"
                 )
         return metrics
 

@@ -44,6 +44,46 @@ def checkify_nan(fn: Callable) -> Callable:
     return wrapper
 
 
+def locate_nonfinite_modules(module, variables, *args, **kwargs):
+    """Per-submodule NaN/Inf localization.
+
+    The reference registers forward hooks on every torch submodule under
+    --anomaly (core/solver_utils.py:5-54) so a non-finite forward names the
+    offending layer. Flax analog: run an EAGER forward pass with a method
+    interceptor that checks every submodule's output. Returns
+    (output, bad_paths) where bad_paths lists "scope/path:ModuleType" for
+    each submodule whose output contains NaN/Inf (innermost first —
+    interceptors unwind from the leaves).
+
+    Debug-only: the host-side finiteness check forces eager sync per
+    module, exactly like the reference's hooks.
+    """
+    import flax.linen as nn
+
+    bad: list[str] = []
+
+    def interceptor(next_fn, iargs, ikwargs, context):
+        out = next_fn(*iargs, **ikwargs)
+        for leaf in jax.tree.leaves(out):
+            if hasattr(leaf, "dtype") and jnp.issubdtype(
+                leaf.dtype, jnp.inexact
+            ):
+                if not bool(jnp.all(jnp.isfinite(leaf))):
+                    try:
+                        path = "/".join(context.module.scope.path)
+                    except Exception:
+                        path = context.module.name or ""
+                    bad.append(
+                        f"{path or '<root>'}:{type(context.module).__name__}"
+                    )
+                    break
+        return out
+
+    with nn.intercept_methods(interceptor):
+        out = module.apply(variables, *args, **kwargs)
+    return out, bad
+
+
 def assert_finite(tree, name: str = "tree"):
     """In-graph finite check; logs via jax.debug.callback when violated.
     Safe inside jit (no host sync on the happy path)."""
