@@ -12,17 +12,28 @@ correctness in tests/test_pipeline_sharded.py and the driver's
 dryrun_multichip; scene pairs are independent (no collectives), so
 throughput scales linearly with chips.
 
+Also reported (round-3 additions, honest-MFU accounting —
+docs/ROOFLINE.md):
+  * optim path (400-step SE(3) refinement) at a SATURATING batch of
+    8 scenes x 8 = 64 instance pairs per device, with MFU derived as
+    F(program) + (n_steps - 1) * F(refine grad step): XLA cost_analysis
+    counts a lax.scan body exactly once, so the naive number would
+    undercount the loop 400x.
+  * end2end_with_recon: the COMPLETE _solve_end2end program — masked FPS
+    from full 4096-pt instance clouds -> encode -> match -> register ->
+    code transport -> hierarchical occupancy grids at the production
+    extraction settings (res0 32, 2 upsampling steps) — plus the host
+    isosurface stage.
+  * train_step at the production batch (64 x 1024 pts, 2048 queries) with
+    its own cost_analysis MFU.
+
 Baseline grounding (docs/BASELINE_DERIVATION.md): the reference repo
 publishes no numbers. vs_baseline uses an op-level derived estimate of
-1.5 scene-pairs/sec for the reference pipeline on its stated RTX 4090
-(encoder FLOPs + pytorch3d kNN/FPS + per-instance Python loop overheads);
+1.5 scene-pairs/sec for the reference pipeline on its stated RTX 4090;
 a *measured* run of the reference's own torch modules on this machine's
-CPU is reported alongside as reference_measured_cpu_pairs_per_sec — the
-hard lower bound for "the reference on available hardware".
+CPU is reported alongside as reference_measured_cpu_pairs_per_sec.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
-Extra keys: n_devices, mfu, tflops_per_pair, optim_pairs_per_sec (the
-400-step-refinement production relocalization path), projected_v5e8.
 """
 from __future__ import annotations
 
@@ -45,13 +56,15 @@ REFERENCE_SCENE_PAIRS_PER_SEC = 1.5  # derived: docs/BASELINE_DERIVATION.md
 N_SCENES_PER_DEV = 8  # measured single-chip operating point (ROUND1_NOTES)
 N_OBJ = 8  # instances per scan
 N_PTS = 1024  # points per instance (reference n_input_point)
+N_FULL = 4096  # raw per-instance cloud size for the encode_fps front end
 
 # v5e per-chip peak: 197 TFLOP/s (bf16 MXU). MFU is reported against this
 # number even though most of the pipeline runs f32 — i.e. conservatively.
 PEAK_FLOPS_PER_CHIP = 197e12
 
 
-def build(mesh, optim: bool, pallas: bool = True):
+def build(mesh, optim: bool, pallas: bool = True, recon: bool = False,
+          encode_fps: bool = False):
     from livingscenes_tpu.models.shape_prior import ShapePrior, ShapePriorConfig
     from livingscenes_tpu.solver.pipeline import (
         PipelineConfig,
@@ -60,26 +73,26 @@ def build(mesh, optim: bool, pallas: bool = True):
     from livingscenes_tpu.solver.registration import RegistrationConfig
 
     # pallas_attention: fused VMEM-resident attention layers (inference
-    # path only; measured 241 -> 149 ms encode at 128x1024 on v5e, 100%
-    # matching agreement vs the XLA path). FLOP accounting uses the
-    # pallas=False build (Pallas kernel FLOPs are invisible to XLA
-    # cost_analysis).
+    # path only). FLOP accounting uses the pallas=False build (Pallas
+    # kernel FLOPs are invisible to XLA cost_analysis).
     model = ShapePrior(ShapePriorConfig(pallas_attention=pallas))
     params = model.init_params(jax.random.PRNGKey(0))
     cfg = PipelineConfig(
         optim=optim,
         registration=RegistrationConfig(use_icp=True, icp_iterations=100),
+        recon=recon,
+        encode_fps=encode_fps,
     )
     pipeline = build_scene_pair_pipeline(
         model, cfg, mesh=mesh if len(mesh.devices.flat) > 1 else None
     )
-    return pipeline, params
+    return pipeline, params, model, cfg
 
 
-def make_scenes(rng, n_scenes):
+def make_scenes(rng, n_scenes, n_pts=N_PTS):
     from scipy.spatial.transform import Rotation
 
-    objs = rng.uniform(-0.5, 0.5, (n_scenes, N_OBJ, N_PTS, 3)).astype(
+    objs = rng.uniform(-0.5, 0.5, (n_scenes, N_OBJ, n_pts, 3)).astype(
         np.float32
     ) * rng.uniform(0.3, 1.0, (n_scenes, N_OBJ, 1, 3)).astype(np.float32)
     offsets = rng.uniform(-3, 3, (n_scenes, N_OBJ, 1, 3)).astype(np.float32)
@@ -101,25 +114,102 @@ def checksum(out) -> float:
     )
 
 
-def measure(pipeline, params, ref, rescan, n_rounds):
-    out = pipeline(params, ref, rescan)  # compile + sync
+def measure(pipeline, params, args, n_rounds):
+    out = pipeline(params, *args)  # compile + sync
     checksum(out)
     t0 = time.perf_counter()
     for _ in range(n_rounds):
-        out = pipeline(params, ref, rescan)
+        out = pipeline(params, *args)
     checksum(out)
-    return time.perf_counter() - t0
+    return time.perf_counter() - t0, out
 
 
-def pipeline_flops(pipeline, params, ref, rescan):
+def flops_of(fn, *args):
     try:
-        compiled = pipeline.lower(params, ref, rescan).compile()
+        compiled = fn.lower(*args).compile()
         analysis = compiled.cost_analysis()
         if isinstance(analysis, list):
             analysis = analysis[0]
         return float(analysis.get("flops", 0.0))
     except Exception:
         return 0.0
+
+
+def refine_step_flops(model, params, cfg, n_pairs):
+    """cost_analysis FLOPs of ONE refine gradient step at batch n_pairs
+    (the lax.scan body the optim program runs cfg.n_steps times)."""
+    from livingscenes_tpu.solver.registration import make_refine_loss
+
+    rng = jax.random.PRNGKey(0)
+    src = jax.random.normal(rng, (n_pairs, N_PTS, 3), jnp.float32)
+    tgt = src + 0.1
+    codes = model.encode(params, tgt)
+    R0 = jnp.broadcast_to(jnp.eye(3), (n_pairs, 3, 3))
+    t0 = jnp.zeros((n_pairs, 3, 1))
+    decode = lambda q, c: model.decode_sdf(params, q, c)
+    _, loss_fn = make_refine_loss(decode, src, tgt, codes, R0, t0, cfg)
+    grad_fn = jax.jit(jax.grad(loss_fn, has_aux=True))
+    xi = jnp.zeros((n_pairs, 6), jnp.float32)
+    return flops_of(grad_fn, xi)
+
+
+def bench_train_step(n_dev, mesh):
+    """Production train step (batch 64, 1024-pt clouds, 2048 SDF queries):
+    steady-state ms/step of the Pallas-kernel build + cost_analysis MFU
+    (FLOPs from the XLA build — Pallas kernel FLOPs are invisible to
+    cost_analysis; the math is identical)."""
+    from livingscenes_tpu.models.shape_prior import ShapePriorConfig
+    from livingscenes_tpu.models.sim3recon import SIM3Recon, TrainLossConfig
+    from livingscenes_tpu.train.trainer import Trainer, TrainerConfig
+
+    model = SIM3Recon(ShapePriorConfig(pallas_attention=True))
+    trainer = Trainer(
+        model,
+        TrainerConfig(batch_size=64 * n_dev, log_dir="/tmp/lstpu_bench_train"),
+        mesh=mesh if n_dev > 1 else None,
+    )
+    state = trainer.init_state()
+    rng = np.random.default_rng(0)
+    B = 64 * n_dev
+    batch = {
+        "inputs": rng.normal(size=(B, 1024, 3)).astype(np.float32),
+        "points_uni": rng.normal(size=(B, 1024, 3)).astype(np.float32),
+        "points_uni_value": rng.normal(size=(B, 1024)).astype(np.float32),
+        "points_nss": rng.normal(size=(B, 1024, 3)).astype(np.float32),
+        "points_nss_value": rng.normal(size=(B, 1024)).astype(np.float32),
+    }
+    placed = trainer.place_batch(batch)
+    key = jax.random.PRNGKey(0)
+    # Warm up (compile) then measure steady state on the raw jitted step.
+    params, opt_state = state.params, state.opt_state
+    params, opt_state, m = trainer._train_step(params, opt_state, placed, key)
+    float(m["batch_loss"])
+    n_rounds = 5
+    t0 = time.perf_counter()
+    for _ in range(n_rounds):
+        params, opt_state, m = trainer._train_step(
+            params, opt_state, placed, key
+        )
+    float(m["batch_loss"])
+    dt = (time.perf_counter() - t0) / n_rounds
+
+    # FLOPs from the XLA (non-Pallas) build of the same step.
+    model_x = SIM3Recon(ShapePriorConfig(pallas_attention=False))
+    trainer_x = Trainer(
+        model_x,
+        TrainerConfig(
+            batch_size=64 * n_dev, log_dir="/tmp/lstpu_bench_train"
+        ),
+        mesh=mesh if n_dev > 1 else None,
+    )
+    state_x = trainer_x.init_state()
+    flops = flops_of(
+        trainer_x._train_step, state_x.params, state_x.opt_state, placed, key
+    )
+    mfu = (
+        flops / dt / (PEAK_FLOPS_PER_CHIP * n_dev) if flops else None
+    )
+    return dt * 1e3, mfu, flops
 
 
 def main():
@@ -131,16 +221,16 @@ def main():
     n_scenes = N_SCENES_PER_DEV * n_dev
 
     rng = np.random.default_rng(0)
-    pipeline, params = build(mesh, optim=False)
+    pipeline, params, model, _ = build(mesh, optim=False)
     ref, rescan = make_scenes(rng, n_scenes)
 
-    dt = measure(pipeline, params, ref, rescan, n_rounds=5)
+    dt, _ = measure(pipeline, params, (ref, rescan), n_rounds=5)
     pairs_per_sec = n_scenes * 5 / dt
 
     # FLOPs of the same program without Pallas kernels (cost_analysis
     # can't see inside pallas_call; the XLA build is the same math).
-    flops_pipeline, _ = build(mesh, optim=False, pallas=False)
-    flops = pipeline_flops(flops_pipeline, params, ref, rescan)
+    flops_pipeline, _, _, _ = build(mesh, optim=False, pallas=False)
+    flops = flops_of(flops_pipeline, params, ref, rescan)
     tflops_per_pair = flops / n_scenes / 1e12 if flops else None
     mfu = (
         flops * pairs_per_sec / n_scenes / (PEAK_FLOPS_PER_CHIP * n_dev)
@@ -148,16 +238,87 @@ def main():
         else None
     )
 
-    # Secondary: the production relocalization path (400-step SE(3)
-    # refinement, more_solver.py:138-178) on a smaller batch.
+    # ---- optim path at a saturating batch (64 instance pairs / device) --
     optim_pairs_per_sec = None
+    mfu_optim = None
+    optim_tflops_per_instance_pair = None
     if os.environ.get("BENCH_SKIP_OPTIM", "0") != "1":
         try:
-            pipe_opt, _ = build(mesh, optim=True)
-            n_small = max(2 * n_dev, 2)
-            ref_s, rescan_s = ref[:n_small], rescan[:n_small]
-            dt_o = measure(pipe_opt, params, ref_s, rescan_s, n_rounds=2)
-            optim_pairs_per_sec = round(n_small * 2 / dt_o, 3)
+            from livingscenes_tpu.solver.registration import (
+                RegistrationConfig,
+            )
+
+            pipe_opt, _, _, opt_cfg = build(mesh, optim=True)
+            n_opt = N_SCENES_PER_DEV * n_dev  # 64 instance pairs per dev
+            ref_o, rescan_o = ref[:n_opt], rescan[:n_opt]
+            dt_o, _ = measure(pipe_opt, params, (ref_o, rescan_o), n_rounds=2)
+            optim_pairs_per_sec = round(n_opt * 2 / dt_o, 3)
+
+            # Honest FLOPs: program (scan body counted once) + the
+            # remaining (n_steps - 1) refine gradient steps.
+            reg = opt_cfg.registration
+            pipe_opt_x, _, model_x, _ = build(mesh, optim=True, pallas=False)
+            f_prog = flops_of(pipe_opt_x, params, ref_o, rescan_o)
+            f_step = refine_step_flops(
+                model_x, params, reg, n_pairs=n_opt * N_OBJ
+            )
+            if f_prog and f_step:
+                f_total = f_prog + (reg.n_steps - 1) * f_step
+                optim_tflops_per_instance_pair = round(
+                    f_total / (n_opt * N_OBJ) / 1e12, 3
+                )
+                mfu_optim = round(
+                    f_total * (optim_pairs_per_sec / n_opt)
+                    / (PEAK_FLOPS_PER_CHIP * n_dev),
+                    4,
+                )
+        except Exception:
+            pass
+
+    # ---- full end2end with reconstruction ------------------------------
+    e2e_recon_pairs_per_sec = None
+    e2e_recon_device_pairs_per_sec = None
+    if os.environ.get("BENCH_SKIP_RECON", "0") != "1":
+        try:
+            from livingscenes_tpu.recon.extractor import MeshExtractorConfig
+            from livingscenes_tpu.solver.pipeline import extract_scene_meshes
+
+            pipe_r, _, _, _ = build(
+                mesh, optim=False, recon=True, encode_fps=True
+            )
+            n_r = 2 * n_dev
+            ref_r, rescan_r = make_scenes(rng, n_r, n_pts=N_FULL)
+            mask = jnp.ones((n_r, N_OBJ, N_FULL), bool)
+            args_r = (ref_r, rescan_r, mask, mask)
+            out = pipe_r(params, *args_r)  # compile
+            checksum(out)
+            t0 = time.perf_counter()
+            n_rounds = 2
+            for _ in range(n_rounds):
+                out = pipe_r(params, *args_r)
+            checksum(out)
+            dt_dev = time.perf_counter() - t0
+            e2e_recon_device_pairs_per_sec = round(
+                n_r * n_rounds / dt_dev, 3
+            )
+            # Host stage (isosurface + simplify) once on the final output.
+            t1 = time.perf_counter()
+            extract_scene_meshes(out, MeshExtractorConfig())
+            dt_host = time.perf_counter() - t1
+            e2e_recon_pairs_per_sec = round(
+                n_r / (dt_dev / n_rounds + dt_host), 3
+            )
+        except Exception:
+            pass
+
+    # ---- train step ----------------------------------------------------
+    train_step_ms = None
+    mfu_train = None
+    if os.environ.get("BENCH_SKIP_TRAIN", "0") != "1":
+        try:
+            train_step_ms, mfu_train, _ = bench_train_step(n_dev, mesh)
+            train_step_ms = round(train_step_ms, 1)
+            mfu_train = round(mfu_train, 4) if mfu_train else None
         except Exception:
             pass
 
@@ -181,7 +342,16 @@ def main():
         "n_devices": n_dev,
         "mfu": round(mfu, 4) if mfu else None,
         "tflops_per_pair": round(tflops_per_pair, 3) if tflops_per_pair else None,
-        "optim_scene_pairs_per_sec": optim_pairs_per_sec,  # x8 = instance pairs/s
+        # production relocalization path at 64 instance pairs / device
+        "optim_scene_pairs_per_sec": optim_pairs_per_sec,
+        "mfu_optim": mfu_optim,
+        "optim_tflops_per_instance_pair": optim_tflops_per_instance_pair,
+        # complete _solve_end2end: fps -> encode -> match -> register ->
+        # transport -> hierarchical grids (device) [+ host meshing]
+        "end2end_with_recon_pairs_per_sec": e2e_recon_pairs_per_sec,
+        "end2end_recon_device_pairs_per_sec": e2e_recon_device_pairs_per_sec,
+        "train_step_ms": train_step_ms,
+        "mfu_train_step": mfu_train,
         "projected_v5e8": round(pairs_per_sec * 8 / n_dev, 1),
         "reference_measured_cpu_pairs_per_sec": ref_cpu,
     }

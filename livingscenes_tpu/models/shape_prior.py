@@ -65,8 +65,8 @@ class ShapePriorConfig:
     pe_pow: int = 4
     # Optional SVD-orthogonalized O(3) frame head (vec_dgcnn_atten.py:240-244).
     z_so3_as_Omtx: bool = False
-    # Fused Pallas attention layers (inference-only; see
-    # nn/pallas_attention.py).
+    # Fused Pallas attention layers (forward + custom-VJP backward; see
+    # nn/pallas_attention.py). TPU only; XLA path elsewhere.
     pallas_attention: bool = False
     # Parity mode: force bit-faithful numerics (exact kNN, native gathers,
     # XLA FPS, unfused K/V) for apples-to-apples comparison against the

@@ -82,8 +82,8 @@ class VecDGCNNAttn(nn.Module):
     z_so3_as_Omtx: bool = False
     # Fully-fused Pallas attention layer (gather + K/V edge conv +
     # activation + attention + K-reduce in one VMEM-resident kernel,
-    # nn/pallas_attention.py). Inference-only (no VJP); XLA path is used
-    # off-TPU regardless.
+    # nn/pallas_attention.py). Differentiable: custom VJP with a fused
+    # backward kernel, so training uses it too. XLA path off-TPU.
     pallas_attention: bool = False
     # VMEM-resident exact kNN graphs (ops/pallas_knn.py). Safe under
     # differentiation (graph indices carry no gradient; inputs are

@@ -52,6 +52,10 @@ def build_model(cfg: dict) -> SIM3Recon:
         decoder_latent_in=tuple(dec.get("latent_in", (4,))),
         sdf2occ_factor=m.get("sdf2occ_factor", -1.0),
         n_pcl=cfg.get("dataset", {}).get("n_pcl", 1024),
+        # Fused Pallas edge/attention kernels now carry custom VJPs
+        # (nn/pallas_attention.py), so training defaults to the fast path
+        # on TPU (XLA fallback elsewhere).
+        pallas_attention=enc.get("pallas_attention", True),
     )
     loss_cfg = TrainLossConfig(
         w_uni=m.get("w_uni", 0.5),

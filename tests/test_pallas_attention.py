@@ -134,3 +134,95 @@ def test_pallas_flag_preserves_param_tree_and_cpu_outputs():
     assert jax.tree_util.tree_structure(p1) == jax.tree_util.tree_structure(p2)
     for a, b in zip(e1.apply(p1, x), e2.apply(p1, x)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+
+
+# ---------------------------------------------------------------------------
+# Round 3: custom-VJP backward kernels — gradient equality vs the XLA path
+# ---------------------------------------------------------------------------
+
+def test_fused_edge_mean_gradients_match_xla():
+    """grad of sum(weighted output) through the Pallas mean-edge kernel
+    (hand-written _mean_edge_bwd_kernel) == grad through the XLA path, for
+    every differentiable input (src, dst, W, D)."""
+    from livingscenes_tpu.nn.pallas_attention import fused_edge_mean
+    from livingscenes_tpu.nn.vec_layers import VecLNA
+
+    rng = np.random.default_rng(3)
+    B, Ns, Nd, C, O, K = 2, 64, 32, 16, 32, 8
+    f32 = lambda *s: jnp.asarray(rng.normal(size=s), jnp.float32)
+    src_f, dst_f = f32(B, Ns, C, 3), f32(B, Nd, C, 3)
+    idx = jnp.asarray(rng.integers(0, Ns, (B, Nd, K)), jnp.int32)
+    W, D = f32(O, 2 * C) * 0.2, f32(O, O) * 0.2
+    cot = f32(B, Nd, O, 3)  # random cotangent direction
+
+    act = lambda x: jax.nn.leaky_relu(x, negative_slope=0.2)
+    lna = VecLNA(2 * C, O, act_func=act, mode="so3")
+
+    def xla_loss(src_f, dst_f, W, D):
+        nn_f = gather_neighbors(
+            src_f.reshape(B, Ns, C * 3), idx
+        ).reshape(B, Nd, K, C, 3)
+        dst_pad = jnp.broadcast_to(dst_f[:, :, None], nn_f.shape)
+        edge = jnp.concatenate([nn_f - dst_pad, dst_pad], axis=-2)
+        params = {
+            "params": {
+                "lin": {"weight": W},
+                "act": {"lin_dir": {"weight": D}},
+            }
+        }
+        out = jnp.mean(lna.apply(params, edge), axis=2)
+        return jnp.sum(out * cot)
+
+    def pallas_loss(src_f, dst_f, W, D):
+        out = fused_edge_mean(src_f, dst_f, idx, W, D, interpret=True)
+        return jnp.sum(out * cot)
+
+    g_ref = jax.grad(xla_loss, argnums=(0, 1, 2, 3))(src_f, dst_f, W, D)
+    g_pal = jax.grad(pallas_loss, argnums=(0, 1, 2, 3))(src_f, dst_f, W, D)
+    for name, a, b in zip(("src", "dst", "W", "D"), g_ref, g_pal):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=5e-3, atol=5e-4,
+            err_msg=name,
+        )
+
+
+def test_fused_edge_attention_gradients_match_xla():
+    """grad through the Pallas attention kernel (_attention_bwd_kernel) ==
+    grad through the XLA attention path, for src, dst, q_n and all four
+    weight matrices."""
+    rng = np.random.default_rng(4)
+    B, Ns, Nd, C, O, K = 2, 64, 32, 16, 32, 8
+    f32 = lambda *s: jnp.asarray(rng.normal(size=s), jnp.float32)
+    src_f, dst_f = f32(B, Ns, C, 3), f32(B, Nd, C, 3)
+    q_feat = f32(B, Nd, O, 3)
+    q_n = channel_equi_vec_normalize(q_feat)
+    idx = jnp.asarray(rng.integers(0, Ns, (B, Nd, K)), jnp.int32)
+    W_K, W_V = f32(O, 2 * C) * 0.2, f32(O, 2 * C) * 0.2
+    D_K, D_V = f32(O, O) * 0.2, f32(O, O) * 0.2
+    cot = f32(B, Nd, O, 3)
+
+    def xla_loss(src_f, dst_f, q_n, W_K, D_K, W_V, D_V):
+        out = xla_attention(
+            src_f, dst_f, idx, q_n, W_K, D_K, W_V, D_V, head_c=16
+        )
+        return jnp.sum(out * cot)
+
+    def pallas_loss(src_f, dst_f, q_n, W_K, D_K, W_V, D_V):
+        out = fused_edge_attention(
+            src_f, dst_f, idx, q_n, W_K, D_K, W_V, D_V,
+            head_c=16, interpret=True,
+        )
+        return jnp.sum(out * cot)
+
+    g_ref = jax.grad(xla_loss, argnums=tuple(range(7)))(
+        src_f, dst_f, q_n, W_K, D_K, W_V, D_V
+    )
+    g_pal = jax.grad(pallas_loss, argnums=tuple(range(7)))(
+        src_f, dst_f, q_n, W_K, D_K, W_V, D_V
+    )
+    names = ("src", "dst", "q_n", "W_K", "D_K", "W_V", "D_V")
+    for name, a, b in zip(names, g_ref, g_pal):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=5e-3, atol=5e-4,
+            err_msg=name,
+        )
