@@ -91,7 +91,8 @@ def _softmin_g(C, log_a, f, eps):
     )
 
 
-def _sym_potentials(C: Array, eps_schedule, iters: int):
+def _sym_potentials(C: Array, eps_schedule, iters: int,
+                    detach_iters: bool = False):
     """Sinkhorn potentials for OT(a, b) with uniform weights — the
     geomloss algorithm (Feydy et al. 2019): damped *parallel* updates
     f <- (f + T(g))/2, g <- (g + T(f))/2 along the eps schedule, then one
@@ -124,8 +125,16 @@ def _sym_potentials(C: Array, eps_schedule, iters: int):
         f, g = jax.lax.fori_loop(
             0, max(iters - 1, 0), lambda _, fg: damped(*fg, eps), (f, g)
         )
-    # last extrapolation: one undamped parallel pair (detaches the
-    # fixed-point iteration cleanly for implicit-like gradients).
+    # last extrapolation: one undamped parallel pair. With detach_iters
+    # the fixed-point iterates are stop_gradient-ed so the cotangent flows
+    # only through this final update — exactly geomloss's backward
+    # (Feydy et al. 2019 "extrapolation" trick: at convergence the inner
+    # potentials are optimal, so by Danskin their gradient contribution
+    # vanishes). This cuts the refine-loop backward from ~10 logsumexp
+    # passes over the (N, M) cost matrix to one.
+    if detach_iters:
+        f = jax.lax.stop_gradient(f)
+        g = jax.lax.stop_gradient(g)
     return _softmin_f(C, log_b, g, eps), _softmin_g(C, log_a, f, eps)
 
 
@@ -146,6 +155,29 @@ def eps_annealing_schedule(
     return schedule
 
 
+def sinkhorn_yy_term(
+    y: Array,
+    blur: float = 0.05,
+    iters: int = 50,
+    anneal: bool = False,
+    diameter: float = 2.0,
+    scaling: float = 0.5,
+) -> Array:
+    """The 0.5*OT(y, y) debias term of the divergence, value only.
+
+    In the SE(3) refinement loss the target cloud is constant across all
+    400 steps, so this term is a per-pair constant (zero gradient w.r.t.
+    the pose); computing it ONCE outside the `lax.scan` removes a third
+    of the per-step Sinkhorn cost-matrix traffic."""
+    if anneal:
+        schedule = eps_annealing_schedule(blur, diameter, scaling)
+    else:
+        schedule = [blur**2]
+    Cyy = _sq_cost(y, y)
+    f_yy, _ = _sym_potentials(Cyy, schedule, iters, detach_iters=True)
+    return jnp.mean(f_yy, axis=-1)  # = 0.5 * ot_yy
+
+
 def sinkhorn_divergence(
     x: Array,
     y: Array,
@@ -154,6 +186,8 @@ def sinkhorn_divergence(
     anneal: bool = False,
     diameter: float = 2.0,
     scaling: float = 0.5,
+    implicit_grad: bool = False,
+    half_ot_yy: Array | None = None,
 ) -> Array:
     """Debiased Sinkhorn divergence S_eps(x, y), eps = blur**2.
 
@@ -166,6 +200,17 @@ def sinkhorn_divergence(
     reference's SamplesLoss('sinkhorn', p=2) (more_solver.py:145,156) at a
     fraction of the updates. Validated against exact OT in
     tests/test_sinkhorn_fidelity.py.
+
+    implicit_grad=True detaches the fixed-point iterations and
+    differentiates only the final extrapolation pair — geomloss's actual
+    backward (it runs its loop under torch.no_grad and re-attaches the
+    last update). Identical value; the gradient is the converged
+    (Danskin) gradient.
+
+    half_ot_yy: optionally pass a precomputed `sinkhorn_yy_term(y, ...)`
+    to skip the y-self correlation entirely (its gradient w.r.t. x is
+    zero and its value is constant when y is fixed, as in the
+    registration refinement scan).
     """
     if anneal:
         schedule = eps_annealing_schedule(blur, diameter, scaling)
@@ -173,13 +218,20 @@ def sinkhorn_divergence(
         schedule = [blur**2]
     Cxy = _sq_cost(x, y)
     Cxx = _sq_cost(x, x)
-    Cyy = _sq_cost(y, y)
 
-    f_xy, g_xy = _sym_potentials(Cxy, schedule, iters)
-    f_xx, _ = _sym_potentials(Cxx, schedule, iters)
-    f_yy, _ = _sym_potentials(Cyy, schedule, iters)
+    f_xy, g_xy = _sym_potentials(
+        Cxy, schedule, iters, detach_iters=implicit_grad
+    )
+    f_xx, _ = _sym_potentials(
+        Cxx, schedule, iters, detach_iters=implicit_grad
+    )
 
     ot_xy = jnp.mean(f_xy, axis=-1) + jnp.mean(g_xy, axis=-1)
-    ot_xx = 2.0 * jnp.mean(f_xx, axis=-1)
-    ot_yy = 2.0 * jnp.mean(f_yy, axis=-1)
-    return ot_xy - 0.5 * ot_xx - 0.5 * ot_yy
+    half_ot_xx = jnp.mean(f_xx, axis=-1)
+    if half_ot_yy is None:
+        Cyy = _sq_cost(y, y)
+        f_yy, _ = _sym_potentials(
+            Cyy, schedule, iters, detach_iters=implicit_grad
+        )
+        half_ot_yy = jnp.mean(f_yy, axis=-1)
+    return ot_xy - half_ot_xx - half_ot_yy

@@ -177,7 +177,7 @@ def build_scene_pair_pipeline(
 
 
 def extract_scene_meshes(
-    out: dict, extractor_config=None
+    out: dict, extractor_config=None, max_workers: Optional[int] = None
 ) -> List[List[Optional[object]]]:
     """Host stage: meshes for every matched instance from pipeline output.
 
@@ -186,7 +186,14 @@ def extract_scene_meshes(
     (More_Solver._solve_end2end tail + _mesh_from_latent,
     more_solver.py:295 / :45-57). Returns [scene][instance] -> Mesh or
     None for unmatched instances.
+
+    Instances are meshed in parallel with a thread pool — the native
+    kernels are ctypes calls, which release the GIL, so this scales with
+    host cores (the device program already batched all grids).
     """
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
     import numpy as np
 
     from ..recon.extractor import MeshExtractorConfig, extract_mesh_from_grid
@@ -197,18 +204,18 @@ def extract_scene_meshes(
     s = np.asarray(out["recon_s"])
     t = np.asarray(out["recon_t"])
     S, O = matches.shape
-    meshes: List[List[Optional[object]]] = []
-    for i in range(S):
-        row: List[Optional[object]] = []
-        for j in range(O):
-            if matches[i, j] < 0:
-                row.append(None)
-                continue
-            mesh = extract_mesh_from_grid(grids[i, j], cfg)
-            if not mesh.is_empty:
-                mesh.apply_scale_translation(
-                    float(s[i, j]), t[i, j].reshape(3)
-                )
-            row.append(mesh)
-        meshes.append(row)
-    return meshes
+
+    def one(ij):
+        i, j = ij
+        if matches[i, j] < 0:
+            return None
+        mesh = extract_mesh_from_grid(grids[i, j], cfg)
+        if not mesh.is_empty:
+            mesh.apply_scale_translation(float(s[i, j]), t[i, j].reshape(3))
+        return mesh
+
+    jobs = [(i, j) for i in range(S) for j in range(O)]
+    workers = max_workers or min(len(jobs), os.cpu_count() or 4)
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        flat = list(pool.map(one, jobs))
+    return [flat[i * O : (i + 1) * O] for i in range(S)]

@@ -358,6 +358,26 @@ class Trainer:
             os.path.join(viz_dir, f"input_{step}.png"),
             render_pointcloud_image([np.asarray(inputs[0])], size=256),
         )
+        # hist + video logger surface (reference hist_logger/video_logger
+        # roles) on the same cadence as mesh/image viz.
+        self.logger.log_histogram(
+            "val", step, "z_inv", np.asarray(codes["z_inv"])
+        )
+        if not mesh.is_empty:
+            from ..recon.mesh import Mesh as _Mesh
+
+            frames = []
+            for ang in np.linspace(0, 2 * np.pi, 12, endpoint=False):
+                c, s = np.cos(ang), np.sin(ang)
+                Rz = np.array(
+                    [[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32
+                )
+                frames.append(
+                    render_mesh_image(
+                        _Mesh(mesh.vertices @ Rz.T, mesh.faces), size=192
+                    )
+                )
+            self.logger.log_video("recon_turntable", step, frames)
 
     # ------------------------------------------------------------------
     def _ckpt_dir(self):
