@@ -138,6 +138,43 @@ def _sym_potentials(C: Array, eps_schedule, iters: int,
     return _softmin_f(C, log_b, g, eps), _softmin_g(C, log_a, f, eps)
 
 
+def _use_pallas_iterates(x) -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+def _potentials_from_points(
+    x: Array, y: Array, schedule, iters: int,
+    implicit_grad: bool, pallas: bool,
+):
+    """Potentials for OT(x, y): damped iterates + final extrapolation.
+
+    With pallas=True (TPU + implicit_grad) the whole computation —
+    cost-matrix build, damped annealing schedule, final extrapolation,
+    AND the closed-form VJP of that extrapolation — runs in VMEM-resident
+    Pallas kernels (ops/pallas_sinkhorn.ot_extrapolated_potentials); the
+    (N, M) cost matrix never touches HBM in either direction. The XLA
+    fallback materializes C and differentiates per `implicit_grad`.
+    """
+    if pallas:
+        from .pallas_sinkhorn import ot_extrapolated_potentials
+
+        squeeze = x.ndim == 2
+        xb = x[None] if squeeze else x
+        yb = y[None] if squeeze else y
+        eff = tuple(schedule) if len(schedule) > 1 else tuple(
+            [schedule[0]] * max(iters - 1, 1)
+        )
+        f, g = ot_extrapolated_potentials(xb, yb, eff)
+        if squeeze:
+            f, g = f[0], g[0]
+        return f, g
+    C = _sq_cost(x, y)
+    return _sym_potentials(C, schedule, iters, detach_iters=implicit_grad)
+
+
 def eps_annealing_schedule(
     blur: float, diameter: float = 2.0, scaling: float = 0.5, tail: int = 2
 ):
@@ -173,8 +210,9 @@ def sinkhorn_yy_term(
         schedule = eps_annealing_schedule(blur, diameter, scaling)
     else:
         schedule = [blur**2]
-    Cyy = _sq_cost(y, y)
-    f_yy, _ = _sym_potentials(Cyy, schedule, iters, detach_iters=True)
+    f_yy, _ = _potentials_from_points(
+        y, y, schedule, iters, True, _use_pallas_iterates(y)
+    )
     return jnp.mean(f_yy, axis=-1)  # = 0.5 * ot_yy
 
 
@@ -216,22 +254,19 @@ def sinkhorn_divergence(
         schedule = eps_annealing_schedule(blur, diameter, scaling)
     else:
         schedule = [blur**2]
-    Cxy = _sq_cost(x, y)
-    Cxx = _sq_cost(x, x)
-
-    f_xy, g_xy = _sym_potentials(
-        Cxy, schedule, iters, detach_iters=implicit_grad
+    use_pallas = implicit_grad and _use_pallas_iterates(x)
+    f_xy, g_xy = _potentials_from_points(
+        x, y, schedule, iters, implicit_grad, use_pallas
     )
-    f_xx, _ = _sym_potentials(
-        Cxx, schedule, iters, detach_iters=implicit_grad
+    f_xx, _ = _potentials_from_points(
+        x, x, schedule, iters, implicit_grad, use_pallas
     )
 
     ot_xy = jnp.mean(f_xy, axis=-1) + jnp.mean(g_xy, axis=-1)
     half_ot_xx = jnp.mean(f_xx, axis=-1)
     if half_ot_yy is None:
-        Cyy = _sq_cost(y, y)
-        f_yy, _ = _sym_potentials(
-            Cyy, schedule, iters, detach_iters=implicit_grad
+        f_yy, _ = _potentials_from_points(
+            y, y, schedule, iters, implicit_grad, use_pallas
         )
         half_ot_yy = jnp.mean(f_yy, axis=-1)
     return ot_xy - half_ot_xx - half_ot_yy
