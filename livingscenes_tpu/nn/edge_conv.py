@@ -120,6 +120,20 @@ class _LNAWeights(nn.Module):
         return W, D
 
 
+class _LNAWeightsE(nn.Module):
+    """Like _LNAWeights but with an explicit edge-input channel count
+    (layer 0's 3-channel [cross, nn - dst, dst] edge)."""
+
+    e_in: int
+    c_out: int
+
+    @nn.compact
+    def __call__(self):
+        W = _Weight(self.c_out, self.e_in, self.e_in, name="lin")()
+        D = _ActScope(self.c_out, name="act")()
+        return W, D
+
+
 def _so3_activation(y: Array, k: Array, act_func) -> Array:
     """VecActivation body (vec_layers.py:261-265) on precomputed q=y, k."""
     k_dir = k / jnp.maximum(jnp.linalg.norm(k, axis=-1, keepdims=True), 1e-12)

@@ -175,19 +175,17 @@ class VecDGCNNAttn(nn.Module):
                 src_f, dst_f, self.num_knn, src_xyz, dst_xyz
             )  # (B, N_dst, K)
 
-            use_pallas_attn = (
-                self.pallas_attention
-                and i >= 1  # layer 0 uses the cross-product edge feature
-                and jax.devices()[0].platform == "tpu"
-            )
+            on_tpu = jax.devices()[0].platform == "tpu"
+            use_pallas_attn = self.pallas_attention and i >= 1 and on_tpu
+            use_pallas_l0 = self.pallas_attention and i == 0 and on_tpu
             # One gather of the raw source features per layer. (A fused
             # gather-after-matmul variant was measured slower on v5e:
             # XLA's 5-D gathers, not the matmuls, dominate, and that form
             # needs 2-4 gathers per layer.)
             nn_f = None
-            if i == 0:
+            if i == 0 and not use_pallas_l0:
                 edge = self._layer0_edge(src_f, dst_f, idx)
-            elif use_pallas_attn:
+            elif i == 0 or use_pallas_attn:
                 pass  # the Pallas kernel gathers in VMEM
             else:
                 if self.matmul_gather:
@@ -206,7 +204,15 @@ class VecDGCNNAttn(nn.Module):
                     )
             e_in = c_in * (3 if i == 0 else 2)
 
-            if i < self.atten_start_layer and use_pallas_attn:
+            if use_pallas_l0:
+                from .edge_conv import _LNAWeightsE
+                from .pallas_layer0 import fused_layer0_edge_mean
+
+                W0, D0 = _LNAWeightsE(3, c_out, name=f"V_{i}")()
+                dst_f = fused_layer0_edge_mean(
+                    src_xyz, idx, W0, D0, neg_slope=self.leak_neg_slope
+                )
+            elif i < self.atten_start_layer and use_pallas_attn:
                 W_V, D_V = _LNAWeights(c_in, c_out, name=f"V_{i}")()
                 dst_f = fused_edge_mean(
                     src_f, dst_f, idx, W_V, D_V,

@@ -78,5 +78,10 @@ def top_k_mean_pairwise_distance(
         ),
         out_shape=jax.ShapeDtypeStruct((B, 1), jnp.float32),
         interpret=interpret,
+        # tb=8 instances x (N, N) distance tiles exceed the 16 MB default
+        # scoped-vmem budget at N=1024; v5e has 128 MB physical VMEM.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
     )(pc.astype(jnp.float32))
     return out[:, 0]

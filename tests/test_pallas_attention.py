@@ -226,3 +226,71 @@ def test_fused_edge_attention_gradients_match_xla():
             np.asarray(b), np.asarray(a), rtol=5e-3, atol=5e-4,
             err_msg=name,
         )
+
+
+def test_fused_layer0_matches_xla_and_grads():
+    """Layer-0 cross-product edge conv kernel (nn/pallas_layer0.py):
+    forward equality vs the encoder's XLA _layer0_edge + VecLNA + mean,
+    and gradient equality for xyz, W, D."""
+    from livingscenes_tpu.nn.pallas_layer0 import fused_layer0_edge_mean
+    from livingscenes_tpu.nn.vec_layers import VecLNA
+
+    rng = np.random.default_rng(6)
+    B, N, K, O = 2, 64, 8, 32
+    xyz = jnp.asarray(rng.normal(size=(B, N, 3)) * 0.5, jnp.float32)
+    idx = jnp.asarray(rng.integers(0, N, (B, N, K)), jnp.int32)
+    W = jnp.asarray(rng.normal(size=(O, 3)) * 0.2, jnp.float32)
+    D = jnp.asarray(rng.normal(size=(O, O)) * 0.2, jnp.float32)
+    cot = jnp.asarray(rng.normal(size=(B, N, O, 3)), jnp.float32)
+
+    act = lambda x: jax.nn.leaky_relu(x, negative_slope=0.2)
+    lna = VecLNA(3, O, act_func=act, mode="so3")
+    params = {
+        "params": {
+            "lin": {"weight": W},
+            "act": {"lin_dir": {"weight": D}},
+        }
+    }
+
+    def xla_l0(xyz, W, D):
+        p = {
+            "params": {
+                "lin": {"weight": W},
+                "act": {"lin_dir": {"weight": D}},
+            }
+        }
+        src_f = xyz[:, :, None, :]
+        nn_f = jnp.take_along_axis(
+            src_f[:, None], idx[..., None, None], axis=2
+        )
+        dst_pad = jnp.broadcast_to(src_f[:, :, None], nn_f.shape)
+        dst_dir = src_f / jnp.maximum(
+            jnp.linalg.norm(src_f, axis=-1, keepdims=True), 1e-12
+        )
+        crossed = jnp.cross(
+            jnp.broadcast_to(dst_dir[:, :, None], nn_f.shape), nn_f
+        )
+        edge = jnp.concatenate([crossed, nn_f - dst_pad, dst_pad], axis=-2)
+        return jnp.mean(lna.apply(p, edge), axis=2)
+
+    ref = xla_l0(xyz, W, D)
+    out = fused_layer0_edge_mean(xyz, idx, W, D, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5
+    )
+
+    g_ref = jax.grad(
+        lambda *a: jnp.sum(xla_l0(*a) * cot), argnums=(0, 1, 2)
+    )(xyz, W, D)
+    g_pal = jax.grad(
+        lambda *a: jnp.sum(
+            fused_layer0_edge_mean(a[0], idx, a[1], a[2], interpret=True)
+            * cot
+        ),
+        argnums=(0, 1, 2),
+    )(xyz, W, D)
+    for name, a, b in zip(("xyz", "W", "D"), g_ref, g_pal):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=5e-3, atol=5e-4,
+            err_msg=name,
+        )
