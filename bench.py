@@ -79,7 +79,9 @@ def build(mesh, optim: bool, pallas: bool = True, recon: bool = False,
     params = model.init_params(jax.random.PRNGKey(0))
     cfg = PipelineConfig(
         optim=optim,
-        registration=RegistrationConfig(use_icp=True, icp_iterations=100),
+        registration=RegistrationConfig(
+            use_icp=True, icp_iterations=100, sinkhorn_pallas=pallas
+        ),
         recon=recon,
         encode_fps=encode_fps,
     )
@@ -255,9 +257,15 @@ def main():
             optim_pairs_per_sec = round(n_opt * 2 / dt_o, 3)
 
             # Honest FLOPs: program (scan body counted once) + the
-            # remaining (n_steps - 1) refine gradient steps.
-            reg = opt_cfg.registration
-            pipe_opt_x, _, model_x, _ = build(mesh, optim=True, pallas=False)
+            # remaining (n_steps - 1) refine gradient steps — on the
+            # XLA builds (Pallas kernels, incl. the fused OT, are
+            # invisible to cost_analysis).
+            import dataclasses as _dc
+
+            pipe_opt_x, _, model_x, x_cfg = build(
+                mesh, optim=True, pallas=False
+            )
+            reg = _dc.replace(x_cfg.registration, sinkhorn_pallas=False)
             f_prog = flops_of(pipe_opt_x, params, ref_o, rescan_o)
             f_step = refine_step_flops(
                 model_x, params, reg, n_pairs=n_opt * N_OBJ

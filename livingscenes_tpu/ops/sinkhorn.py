@@ -199,6 +199,7 @@ def sinkhorn_yy_term(
     anneal: bool = False,
     diameter: float = 2.0,
     scaling: float = 0.5,
+    pallas: bool | None = None,
 ) -> Array:
     """The 0.5*OT(y, y) debias term of the divergence, value only.
 
@@ -211,7 +212,8 @@ def sinkhorn_yy_term(
     else:
         schedule = [blur**2]
     f_yy, _ = _potentials_from_points(
-        y, y, schedule, iters, True, _use_pallas_iterates(y)
+        y, y, schedule, iters, True,
+        _use_pallas_iterates(y) and (pallas is None or pallas),
     )
     return jnp.mean(f_yy, axis=-1)  # = 0.5 * ot_yy
 
@@ -226,6 +228,7 @@ def sinkhorn_divergence(
     scaling: float = 0.5,
     implicit_grad: bool = False,
     half_ot_yy: Array | None = None,
+    pallas: bool | None = None,
 ) -> Array:
     """Debiased Sinkhorn divergence S_eps(x, y), eps = blur**2.
 
@@ -254,7 +257,11 @@ def sinkhorn_divergence(
         schedule = eps_annealing_schedule(blur, diameter, scaling)
     else:
         schedule = [blur**2]
-    use_pallas = implicit_grad and _use_pallas_iterates(x)
+    use_pallas = (
+        implicit_grad
+        and _use_pallas_iterates(x)
+        and (pallas is None or pallas)
+    )
     f_xy, g_xy = _potentials_from_points(
         x, y, schedule, iters, implicit_grad, use_pallas
     )

@@ -56,6 +56,10 @@ class RegistrationConfig:
     # the converged potentials). Identical loss value, ~10x less backward
     # traffic over the (N, M) cost matrices per refine step.
     sinkhorn_implicit_grad: bool = True
+    # VMEM-resident fused OT kernels on TPU (ops/pallas_sinkhorn.py).
+    # False forces the XLA path — used by bench.py's FLOP-accounting
+    # builds (Pallas kernel FLOPs are invisible to cost_analysis).
+    sinkhorn_pallas: bool = True
     # bfloat16 decoder params + queries inside the 400-step refinement
     # loop (f32 pose/Adam state). The DeepSDF fwd+bwd dominates the
     # refine FLOPs (~6.5 PFLOP per 64-pair batch); bf16 halves its
@@ -120,6 +124,7 @@ def make_refine_loss(
     half_yy = sinkhorn_yy_term(
         tgt_pc, blur=cfg.sinkhorn_blur, iters=cfg.sinkhorn_iters,
         anneal=cfg.sinkhorn_anneal, diameter=cfg.sinkhorn_diameter,
+        pallas=cfg.sinkhorn_pallas,
     )
 
     def loss_fn(xi):
@@ -131,6 +136,7 @@ def make_refine_loss(
             anneal=cfg.sinkhorn_anneal, diameter=cfg.sinkhorn_diameter,
             implicit_grad=cfg.sinkhorn_implicit_grad,
             half_ot_yy=half_yy,
+            pallas=cfg.sinkhorn_pallas,
         )
         per_item = sdf_loss + ot
         return jnp.sum(per_item), per_item
