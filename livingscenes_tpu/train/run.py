@@ -23,6 +23,7 @@ from .data import (
     ShapeNetSDFDataset,
     SyntheticShapeDataset,
     batch_iterator,
+    prefetch_iterator,
 )
 from .logger import configure_logging
 from .trainer import Trainer, TrainerConfig
@@ -133,7 +134,10 @@ def build_datasets(cfg: dict):
     mk = lambda n, seed, use_aug: SyntheticShapeDataset(
         n_items=n, seed=seed, aug=aug if use_aug else None,
         sampling_aug=sampling_aug if use_aug else None,
-        n_eval=d.get("n_query_eval", 2048), **common,
+        n_eval=d.get("n_query_eval", 2048),
+        ram_cache=d.get("ram_cache", True),
+        cache_workers=d.get("cache_workers", 8),
+        **common,
     )
     return (
         mk(d.get("n_train_items", 512), 0, True),
@@ -197,8 +201,8 @@ def main(argv=None):
         state = trainer.load_checkpoint(state, args.resume)
         log.info("resumed from %s at step %d", args.resume, state.step)
 
-    train_it = batch_iterator(
-        train_ds, trainer_cfg.batch_size, seed=trainer_cfg.seed
+    train_it = prefetch_iterator(
+        batch_iterator(train_ds, trainer_cfg.batch_size, seed=trainer_cfg.seed)
     )
     val_factory = lambda: batch_iterator(
         val_ds, max(2, trainer_cfg.batch_size // 8), seed=1

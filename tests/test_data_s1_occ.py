@@ -153,3 +153,28 @@ def test_synthetic_dataset_with_s1():
     item = ds[0]
     assert item["inputs"].shape == (128, 3)
     assert np.isfinite(item["inputs"]).all()
+
+
+def test_ram_cache_and_prefetch_value_identical():
+    """The RAM cache and prefetch thread must not change a single byte:
+    items are deterministic per (seed, idx), so cached==fresh, and the
+    prefetch thread preserves batch order and values."""
+    from livingscenes_tpu.train.data import prefetch_iterator
+    from livingscenes_tpu.train.data import AugmentConfig
+
+    kw = dict(n_items=8, n_pcl=64, n_uni=32, n_nss=32, n_eval=32,
+              seed=5, aug=AugmentConfig())
+    ds_plain = SyntheticShapeDataset(ram_cache=False, **kw)
+    ds_cache = SyntheticShapeDataset(ram_cache=True, cache_workers=2, **kw)
+    for i in range(len(ds_plain)):
+        a, b = ds_plain[i], ds_cache[i]
+        assert set(a) == set(b)
+        for k in a:
+            np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+
+    it1 = list(batch_iterator(ds_plain, 4, seed=7, loop=False))
+    it2 = list(prefetch_iterator(batch_iterator(ds_cache, 4, seed=7, loop=False)))
+    assert len(it1) == len(it2) == 2
+    for b1, b2 in zip(it1, it2):
+        for k in b1:
+            np.testing.assert_array_equal(np.asarray(b1[k]), np.asarray(b2[k]))
