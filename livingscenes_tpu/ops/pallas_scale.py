@@ -64,10 +64,17 @@ def top_k_mean_pairwise_distance(
     per instance. pc: (B, N, 3) (centered or not — distances are
     translation-invariant). Returns (B,)."""
     B, N, _ = pc.shape
-    tb = 8 if B % 8 == 0 else 1
+    # The SMEM output block needs a sublane-multiple batch tile; pad the
+    # batch to a multiple of 8 (zero clouds -> statistic 0, sliced off).
+    tb = 8
+    B_pad = -(-B // tb) * tb
+    if B_pad != B:
+        pc = jnp.concatenate(
+            [pc, jnp.zeros((B_pad - B, N, 3), pc.dtype)], axis=0
+        )
     out = pl.pallas_call(
         functools.partial(_scale_kernel, n=N, k=k, tb=tb),
-        grid=(B // tb,),
+        grid=(B_pad // tb,),
         in_specs=[
             pl.BlockSpec(
                 (tb, N, 3), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
@@ -76,7 +83,7 @@ def top_k_mean_pairwise_distance(
         out_specs=pl.BlockSpec(
             (tb, 1), lambda b: (b, 0), memory_space=pltpu.SMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((B, 1), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B_pad, 1), jnp.float32),
         interpret=interpret,
         # tb=8 instances x (N, N) distance tiles exceed the 16 MB default
         # scoped-vmem budget at N=1024; v5e has 128 MB physical VMEM.
@@ -84,4 +91,4 @@ def top_k_mean_pairwise_distance(
             vmem_limit_bytes=64 * 1024 * 1024
         ),
     )(pc.astype(jnp.float32))
-    return out[:, 0]
+    return out[:B, 0]

@@ -9,7 +9,7 @@ import pytest
 from livingscenes_tpu.ops.pallas_scale import top_k_mean_pairwise_distance
 
 
-@pytest.mark.parametrize("B,N", [(2, 64), (3, 100)])
+@pytest.mark.parametrize("B,N", [(2, 64), (3, 100), (8, 64)])
 def test_matches_xla_topk(B, N):
     rng = np.random.default_rng(0)
     pc = jnp.asarray(rng.normal(size=(B, N, 3)), jnp.float32)
