@@ -23,6 +23,7 @@ from .metrics import (
     compute_chamfer_distance,
     compute_sdf_recall,
     compute_volumetric_iou,
+    volumetric_iou_sampled,
 )
 
 log = logging.getLogger(__name__)
@@ -159,7 +160,7 @@ def eval_reconstruction(
     gt_mesh_loader(class_id, obj_id) -> Mesh supplies watertight GT meshes
     (the reference hard-codes a local path, eval_flyingshape.py:196).
     """
-    cd_lst, iou_lst, sdf_recall_lst = [], [], []
+    cd_lst, iou_lst, iou_s_lst, sdf_recall_lst = [], [], [], []
     for scene in _iter_scenes(dataset):
         t_scene = scene[0]
         codes = solver.encode_instances(jnp.asarray(t_scene["pc"]))
@@ -179,6 +180,7 @@ def eval_reconstruction(
             )
             if mesh.is_empty or gt_mesh is None:
                 iou_lst.append(0.0)
+                iou_s_lst.append(0.0)
                 sdf_recall_lst.append(0.0)
                 continue
             cd1, cd2 = compute_chamfer_distance(
@@ -186,7 +188,13 @@ def eval_reconstruction(
             )
             cd_lst.append(cd1 + cd2)
             sdf_recall_lst.append(compute_sdf_recall(mesh, gt_mesh, 0.05))
+            # The reference's "iou" (evaluate.py:44-47) is a containment
+            # ratio: GT vertices strictly inside the predicted mesh. For a
+            # near-exact reconstruction GT vertices sit ON the surface,
+            # where the parity test is a coin flip — a better mesh can
+            # score LOWER. Report the true sampled volumetric IoU too.
             iou_lst.append(compute_volumetric_iou(mesh, gt_mesh))
+            iou_s_lst.append(volumetric_iou_sampled(mesh, gt_mesh))
     result = {
         "chamfer_mean": float(np.mean(cd_lst)) if cd_lst else None,
         "sdf_recall": float((np.asarray(sdf_recall_lst) > 0.7).mean() * 100)
@@ -197,6 +205,17 @@ def eval_reconstruction(
         else None,
         "viou_mean": float(np.mean(iou_lst) * 100) if iou_lst else None,
         "viou_median": float(np.median(iou_lst) * 100) if iou_lst else None,
+        "viou_sampled_recall": float(
+            (np.asarray(iou_s_lst) > 0.5).mean() * 100
+        )
+        if iou_s_lst
+        else None,
+        "viou_sampled_mean": float(np.mean(iou_s_lst) * 100)
+        if iou_s_lst
+        else None,
+        "viou_sampled_median": float(np.median(iou_s_lst) * 100)
+        if iou_s_lst
+        else None,
     }
     log.info("FlyingShape reconstruction: %s", result)
     return result

@@ -92,6 +92,8 @@ def main():
     parser.add_argument("--n-pts", type=int, default=512)
     parser.add_argument("--recon-upsample", type=int, default=1,
                         help="mesh extractor upsampling steps (demo: 64^3)")
+    parser.add_argument("--optim", action="store_true",
+                        help="also run the 400-step refined relocalization")
     args = parser.parse_args()
 
     from livingscenes_tpu.eval.flyingshape import (
@@ -130,6 +132,12 @@ def main():
         dataset, solver, optim=False
     )
     print(f"[reloc done {time.perf_counter()-t0:.0f}s]", flush=True)
+    if args.optim:
+        t0 = time.perf_counter()
+        results["relocalization_optim"] = eval_relocalization(
+            dataset, solver, optim=True
+        )
+        print(f"[reloc-optim done {time.perf_counter()-t0:.0f}s]", flush=True)
     t0 = time.perf_counter()
     results["reconstruction"] = eval_reconstruction(
         dataset, solver,

@@ -12,6 +12,7 @@ from scipy.spatial.transform import Rotation
 from livingscenes_tpu.eval.flyingshape import (
     FlyingShapeDataset,
     eval_matching as fs_eval_matching,
+    eval_reconstruction as fs_eval_reconstruction,
     eval_relocalization as fs_eval_relocalization,
 )
 from livingscenes_tpu.eval.rescan3r import (
@@ -119,6 +120,32 @@ def test_flyingshape_matching(flyingshape_dir, solver):
     res = fs_eval_matching(ds, solver)
     assert res["object_recall"] == 100.0
     assert res["scene_recall@100"] == 100.0
+
+
+def test_flyingshape_reconstruction_keys(flyingshape_dir, solver):
+    """Both IoU families (reference containment + true sampled) are
+    reported; untrained weights only need to produce finite floats."""
+    ds = FlyingShapeDataset(flyingshape_dir)
+    cube_v = np.array(
+        [[x, y, z] for x in (-1.0, 1.0) for y in (-1.0, 1.0)
+         for z in (-1.0, 1.0)], np.float32
+    )
+    cube_f = np.array(
+        [[0, 1, 3], [0, 3, 2], [4, 7, 5], [4, 6, 7], [0, 5, 1],
+         [0, 4, 5], [2, 3, 7], [2, 7, 6], [0, 2, 6], [0, 6, 4],
+         [1, 5, 7], [1, 7, 3]], np.int64
+    )
+    gt = Mesh(cube_v, cube_f)
+    res = fs_eval_reconstruction(
+        ds, solver, gt_mesh_loader=lambda c, o: gt
+    )
+    for key in (
+        "chamfer_mean", "sdf_recall", "viou_recall", "viou_mean",
+        "viou_median", "viou_sampled_recall", "viou_sampled_mean",
+        "viou_sampled_median",
+    ):
+        assert key in res
+        assert res[key] is None or np.isfinite(res[key])
 
 
 def test_flyingshape_relocalization(flyingshape_dir, solver):
