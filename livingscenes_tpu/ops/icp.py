@@ -41,6 +41,11 @@ def iterative_closest_point(
     # HBM distance matrix at these sizes) — off by default, kept for
     # larger-cloud use cases.
     use_pallas_nn: bool = False,
+    # Fused correspondence step (ops/pallas_icp.py): one kernel per
+    # iteration returns only the Kabsch sufficient statistics, so the
+    # (B, N, M) distance matrix never touches HBM. None = auto (on for
+    # TPU when both clouds are unmasked).
+    fused_stats: bool | None = None,
 ) -> ICPResult:
     """Rigid ICP aligning src -> tgt.
 
@@ -64,6 +69,16 @@ def iterative_closest_point(
         t0 = jnp.zeros((B, 3), dtype=dtype)
     else:
         t0 = init_t.astype(dtype)
+    if fused_stats is None:
+        fused_stats = (
+            src_mask is None
+            and tgt_mask is None
+            and jax.devices()[0].platform == "tpu"
+        )
+    else:
+        fused_stats = (
+            fused_stats and src_mask is None and tgt_mask is None
+        )
     if src_mask is None:
         src_mask = jnp.ones((B, N), dtype=bool)
     w = src_mask.astype(dtype)
@@ -91,27 +106,62 @@ def iterative_closest_point(
         dmin = jnp.min(d, axis=-1)
         return nn, dmin
 
+    interp = jax.devices()[0].platform != "tpu"
+    src_mean = jnp.mean(src, axis=1)  # (B, 3); constant across the scan
+
     def step(carry, _):
-        R, t, prev_rmse, frozen = carry
+        R, t, prev_rmse, frozen, q = carry
         x = jnp.matmul(src, jnp.swapaxes(R, -1, -2)) + t[:, None, :]
-        nn, dmin = nn_targets(x)
-        rmse = jnp.sqrt(
-            jnp.sum(dmin * w, axis=-1) / jnp.maximum(jnp.sum(w, axis=-1), 1.0)
-        )
-        # Re-fit against the original source so the accumulated transform
-        # stays a single rigid motion.
-        R_new, t_new, _ = se3.kabsch(src, nn, weights=w)
-        t_new = t_new[..., 0]
+        if fused_stats:
+            from .pallas_icp import icp_iteration_stats
+
+            S, nn_sum, dmin_sum = icp_iteration_stats(
+                x, src, tgt, interpret=interp
+            )
+            S = S.astype(dtype)
+            rmse = jnp.sqrt(dmin_sum.astype(dtype) / N)
+            nn_mean = nn_sum.astype(dtype) / N
+            # Uniform-weight Kabsch from sufficient statistics:
+            # cov = (1/N) sum src_c (nn_c)^T = mu_src mu_nn^T subtracted
+            # from S/N. The rotation solve is Horn's quaternion method,
+            # warm-started from the previous iteration's quaternion —
+            # batched 3x3 SVD costs as much as the whole correspondence
+            # kernel per step (docs/ROOFLINE.md ICP breakdown).
+            cov = S / N - src_mean[:, :, None] * nn_mean[:, None, :]
+            R_new, q_new = se3.rotation_from_covariance_horn(
+                cov, q0=q, iters=8
+            )
+            q = jnp.where(frozen[:, None], q, q_new)
+            t_new = nn_mean - jnp.matmul(
+                R_new, src_mean[..., None]
+            )[..., 0]
+        else:
+            nn, dmin = nn_targets(x)
+            rmse = jnp.sqrt(
+                jnp.sum(dmin * w, axis=-1)
+                / jnp.maximum(jnp.sum(w, axis=-1), 1.0)
+            )
+            # Re-fit against the original source so the accumulated
+            # transform stays a single rigid motion.
+            R_new, t_new, _ = se3.kabsch(src, nn, weights=w)
+            t_new = t_new[..., 0]
         rel = jnp.abs(prev_rmse - rmse) / jnp.maximum(prev_rmse, 1e-12)
         frozen_new = frozen | (rel < relative_rmse_thr)
         keep = frozen[:, None, None]
         R_out = jnp.where(keep, R, R_new)
         t_out = jnp.where(frozen[:, None], t, t_new)
         rmse_out = jnp.where(frozen, prev_rmse, rmse)
-        return (R_out, t_out, rmse_out, frozen_new), None
+        return (R_out, t_out, rmse_out, frozen_new, q), None
 
-    init = (R0, t0, jnp.full((B,), jnp.inf, dtype), jnp.zeros((B,), bool))
-    (R, t, rmse, frozen), _ = jax.lax.scan(
+    q0 = se3.quat_wxyz_from_matrix(R0)
+    init = (
+        R0,
+        t0,
+        jnp.full((B,), jnp.inf, dtype),
+        jnp.zeros((B,), bool),
+        q0,
+    )
+    (R, t, rmse, frozen, _), _ = jax.lax.scan(
         step, init, None, length=max_iterations
     )
     return ICPResult(R=R, t=t, rmse=rmse, converged=frozen)

@@ -67,6 +67,9 @@ class RegistrationConfig:
     refine_bf16: bool = False
     icp_iterations: int = 100
     use_icp: bool = True
+    # Fused ICP correspondence kernel (ops/pallas_icp.py); None = auto
+    # (on for TPU with unmasked clouds). False pins the XLA path.
+    icp_fused: bool | None = None
 
 
 class RegistrationResult(NamedTuple):
@@ -294,6 +297,7 @@ def solve_pairwise_registration(
             init_R=R,
             init_t=t[..., 0],
             max_iterations=cfg.icp_iterations,
+            fused_stats=cfg.icp_fused,
         )
         R, t = res.R, res.t[..., None]
     return R, t

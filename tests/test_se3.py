@@ -137,3 +137,39 @@ def test_jit_and_grad():
     g = jax.grad(f)(x1, x2)
     assert g.shape == x1.shape
     assert bool(jnp.all(jnp.isfinite(g)))
+
+
+def test_horn_rotation_matches_svd_kabsch():
+    """Warm-started Horn quaternion solve == SVD branch on point-set
+    covariances (the ICP use case: full-rank, healthy eigengap)."""
+    rng = np.random.default_rng(11)
+    a = rng.normal(size=(8, 200, 3))
+    Rg = np.stack(
+        [
+            np.asarray(
+                se3.matrix_from_quat_wxyz(
+                    jnp.asarray(q / np.linalg.norm(q))
+                )
+            )
+            for q in rng.normal(size=(8, 4))
+        ]
+    )
+    b = np.einsum("bij,bnj->bni", Rg, a) + rng.normal(size=(8, 200, 3)) * 0.05
+    a_c = a - a.mean(1, keepdims=True)
+    b_c = b - b.mean(1, keepdims=True)
+    cov = jnp.asarray(np.einsum("bni,bnj->bij", a_c, b_c))
+    R_svd = se3.rotation_from_covariance(cov)
+    # cold start, enough iterations
+    R_h, q = se3.rotation_from_covariance_horn(cov, iters=60)
+    assert float(jnp.max(se3.rotation_error(R_svd, R_h))) < 1e-3
+    # warm start from the converged quaternion: few iterations suffice
+    R_w, _ = se3.rotation_from_covariance_horn(cov, q0=q, iters=4)
+    assert float(jnp.max(se3.rotation_error(R_svd, R_w))) < 1e-4
+
+
+def test_quat_matrix_roundtrip():
+    R = se3.random_rotation(jax.random.PRNGKey(5), (32,))
+    q = se3.quat_wxyz_from_matrix(R)
+    np.testing.assert_allclose(
+        np.asarray(se3.matrix_from_quat_wxyz(q)), np.asarray(R), atol=1e-9
+    )
