@@ -82,6 +82,10 @@ struct Simplifier {
   std::vector<std::vector<int64_t>> vertex_faces;
   int64_t alive_count = 0;
   std::priority_queue<Candidate> heap;
+  // Per-collapse scratch (member-owned: no per-collapse allocation).
+  std::vector<int64_t> nbr_scratch;
+  std::vector<uint64_t> nbr_stamp;
+  uint64_t collapse_epoch = 0;
 
   static uint64_t PairKey(int64_t a, int64_t b) {
     if (a > b) std::swap(a, b);
@@ -94,6 +98,8 @@ struct Simplifier {
       pos[i] = {verts[3 * i], verts[3 * i + 1], verts[3 * i + 2]};
     quadric.assign(nv, Quadric());
     version.assign(nv, 0);
+    nbr_stamp.assign(nv, 0);
+    nbr_scratch.reserve(32);
     faces.resize(nf);
     face_alive.assign(nf, 1);
     vertex_faces.assign(nv, {});
@@ -192,7 +198,6 @@ struct Simplifier {
       version[v0]++;
       version[v1] = UINT64_MAX;  // retire v1
 
-      std::unordered_set<int64_t> neighbor_faces;
       for (int64_t f : vertex_faces[v1]) {
         if (!face_alive[f]) continue;
         auto& fc = faces[f];
@@ -217,14 +222,23 @@ struct Simplifier {
                          [&](int64_t f) { return !face_alive[f]; }),
           vf.end());
 
-      // Re-push candidate edges around v0.
-      std::unordered_set<int64_t> nbrs;
+      // Re-push candidate edges around v0. Dedup via an epoch-stamped
+      // mark array instead of a per-collapse hash set (the hash-set
+      // allocations dominated the collapse loop: ~26k collapses for a
+      // 57k->5k simplify, each touching ~6 neighbors).
+      ++collapse_epoch;
+      nbr_scratch.clear();
       for (int64_t f : vertex_faces[v0]) {
         if (!face_alive[f]) continue;
-        for (int k = 0; k < 3; ++k)
-          if (faces[f][k] != v0) nbrs.insert(faces[f][k]);
+        for (int k = 0; k < 3; ++k) {
+          int64_t n = faces[f][k];
+          if (n != v0 && nbr_stamp[n] != collapse_epoch) {
+            nbr_stamp[n] = collapse_epoch;
+            nbr_scratch.push_back(n);
+          }
+        }
       }
-      for (int64_t n : nbrs) PushCandidate(v0, n);
+      for (int64_t n : nbr_scratch) PushCandidate(v0, n);
     }
   }
 
