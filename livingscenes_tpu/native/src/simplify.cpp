@@ -82,10 +82,23 @@ struct Simplifier {
   std::vector<std::vector<int64_t>> vertex_faces;
   int64_t alive_count = 0;
   std::priority_queue<Candidate> heap;
-  // Per-collapse scratch (member-owned: no per-collapse allocation).
-  std::vector<int64_t> nbr_scratch;
-  std::vector<uint64_t> nbr_stamp;
-  uint64_t collapse_epoch = 0;
+  // Retired-vertex remap (union-find with path halving): heap entries
+  // naming collapsed vertices are translated to their survivors on pop
+  // instead of eagerly re-pushing every incident edge per collapse.
+  std::vector<int64_t> parent;
+  // Absolute deferral penalty for normal-flip-vetoed candidates. A
+  // multiplicative penalty alone spins forever on the zero-cost sliver
+  // edges marching-tetrahedra meshes are full of (0 * k stays at the
+  // heap top); this pushes them behind all genuinely-cheap collapses.
+  double veto_eps = 1e-12;
+
+  int64_t Find(int64_t v) {
+    while (parent[v] != v) {
+      parent[v] = parent[parent[v]];
+      v = parent[v];
+    }
+    return v;
+  }
 
   static uint64_t PairKey(int64_t a, int64_t b) {
     if (a > b) std::swap(a, b);
@@ -98,8 +111,15 @@ struct Simplifier {
       pos[i] = {verts[3 * i], verts[3 * i + 1], verts[3 * i + 2]};
     quadric.assign(nv, Quadric());
     version.assign(nv, 0);
-    nbr_stamp.assign(nv, 0);
-    nbr_scratch.reserve(32);
+    parent.resize(nv);
+    for (int64_t i = 0; i < nv; ++i) parent[i] = i;
+    Vec3 lo = pos.empty() ? Vec3{0, 0, 0} : pos[0], hi = lo;
+    for (const Vec3& p : pos) {
+      lo = {std::min(lo.x, p.x), std::min(lo.y, p.y), std::min(lo.z, p.z)};
+      hi = {std::max(hi.x, p.x), std::max(hi.y, p.y), std::max(hi.z, p.z)};
+    }
+    const Vec3 ext = hi - lo;
+    veto_eps = 1e-9 * (ext.Dot(ext) + 1e-30);
     faces.resize(nf);
     face_alive.assign(nf, 1);
     vertex_faces.assign(nv, {});
@@ -176,12 +196,22 @@ struct Simplifier {
   }
 
   void Run(int64_t target_faces, double /*aggressiveness*/) {
-    while (alive_count > target_faces && !heap.empty()) {
+    // Lazy heap maintenance: collapses do NOT re-push incident edges
+    // (the eager variant pushed ~19 candidates per collapse — ~500k
+    // heap pushes + quadric solves for a 57k->5k run, the dominant
+    // cost by profile). Instead, entries are translated through the
+    // union-find on pop; a stale entry (version stamp mismatch) is
+    // re-costed and re-pushed once, only when it actually surfaces.
+    int64_t budget = 100 * (int64_t)faces.size() + (1 << 20);
+    while (alive_count > target_faces && !heap.empty() && budget-- > 0) {
       Candidate c = heap.top();
       heap.pop();
-      if (c.stamp != version[c.v0] + version[c.v1]) continue;  // stale
-      int64_t v0 = c.v0, v1 = c.v1;
-      if (v0 == v1) continue;
+      int64_t v0 = Find(c.v0), v1 = Find(c.v1);
+      if (v0 == v1) continue;  // edge collapsed away entirely
+      if (c.stamp != version[v0] + version[v1]) {
+        PushCandidate(v0, v1);  // re-cost with current quadrics
+        continue;
+      }
 
       Quadric q = quadric[v0];
       q.Add(quadric[v1]);
@@ -190,13 +220,20 @@ struct Simplifier {
         p = {(pos[v0].x + pos[v1].x) / 2, (pos[v0].y + pos[v1].y) / 2,
              (pos[v0].z + pos[v1].z) / 2};
       }
-      if (FlipsNormal(v0, v1, p)) continue;
+      if (FlipsNormal(v0, v1, p)) {
+        // Defer rather than drop: the neighborhood may open up after
+        // nearby collapses. The penalty keeps a permanently vetoed
+        // edge from spinning at the heap top (budget bounds the
+        // pathological all-vetoed case).
+        heap.push({c.cost * 2.0 + veto_eps, v0, v1, c.stamp});
+        continue;
+      }
 
       // Collapse v1 into v0 at position p.
       pos[v0] = p;
       quadric[v0] = q;
       version[v0]++;
-      version[v1] = UINT64_MAX;  // retire v1
+      parent[v1] = v0;
 
       for (int64_t f : vertex_faces[v1]) {
         if (!face_alive[f]) continue;
@@ -221,24 +258,6 @@ struct Simplifier {
           std::remove_if(vf.begin(), vf.end(),
                          [&](int64_t f) { return !face_alive[f]; }),
           vf.end());
-
-      // Re-push candidate edges around v0. Dedup via an epoch-stamped
-      // mark array instead of a per-collapse hash set (the hash-set
-      // allocations dominated the collapse loop: ~26k collapses for a
-      // 57k->5k simplify, each touching ~6 neighbors).
-      ++collapse_epoch;
-      nbr_scratch.clear();
-      for (int64_t f : vertex_faces[v0]) {
-        if (!face_alive[f]) continue;
-        for (int k = 0; k < 3; ++k) {
-          int64_t n = faces[f][k];
-          if (n != v0 && nbr_stamp[n] != collapse_epoch) {
-            nbr_stamp[n] = collapse_epoch;
-            nbr_scratch.push_back(n);
-          }
-        }
-      }
-      for (int64_t n : nbr_scratch) PushCandidate(v0, n);
     }
   }
 
