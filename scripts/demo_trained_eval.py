@@ -94,6 +94,8 @@ def main():
                         help="mesh extractor upsampling steps (demo: 64^3)")
     parser.add_argument("--optim", action="store_true",
                         help="also run the 400-step refined relocalization")
+    parser.add_argument("--n-scenes", type=int, default=4,
+                        help="benchmark size (n_scenes x 4 objects)")
     args = parser.parse_args()
 
     from livingscenes_tpu.eval.flyingshape import (
@@ -106,7 +108,9 @@ def main():
     from livingscenes_tpu.solver import MoreSolver, MoreSolverConfig
     from livingscenes_tpu.recon.extractor import MeshExtractorConfig
 
-    gt_meshes = build_benchmark(args.root, n_pts=args.n_pts)
+    gt_meshes = build_benchmark(
+        args.root, n_scenes=args.n_scenes, n_pts=args.n_pts
+    )
     base = load_solver(args.ckpt)
     solver = MoreSolver(
         base.model,
