@@ -46,6 +46,14 @@ def iterative_closest_point(
     # (B, N, M) distance matrix never touches HBM. None = auto (on for
     # TPU when both clouds are unmasked).
     fused_stats: bool | None = None,
+    # Stop iterating once EVERY pair has hit the convergence freeze
+    # (lax.while_loop bounded by max_iterations). Bit-identical results
+    # to the fixed-length scan — frozen pairs never update. Measured
+    # SLOWER on TPU at the production operating point (45.3 vs 41.0 ms,
+    # B=64: the while_loop forfeits scan pipelining and a few straggler
+    # pairs rarely all freeze), so the default stays the scan + the
+    # per-pair kernel skip, which captures the win without the barrier.
+    early_exit: bool = False,
 ) -> ICPResult:
     """Rigid ICP aligning src -> tgt.
 
@@ -115,8 +123,13 @@ def iterative_closest_point(
         if fused_stats:
             from .pallas_icp import icp_iteration_stats
 
+            # Frozen pairs skip the kernel body entirely (per-pair
+            # @pl.when); their garbage stats are masked below exactly
+            # as the freeze semantics already required.
             S, nn_sum, dmin_sum = icp_iteration_stats(
-                x, src, tgt, interpret=interp
+                x, src, tgt,
+                active=jnp.logical_not(frozen),
+                interpret=interp,
             )
             S = S.astype(dtype)
             rmse = jnp.sqrt(dmin_sum.astype(dtype) / N)
@@ -161,7 +174,24 @@ def iterative_closest_point(
         jnp.zeros((B,), bool),
         q0,
     )
-    (R, t, rmse, frozen, _), _ = jax.lax.scan(
-        step, init, None, length=max_iterations
-    )
+    if early_exit:
+        def cond(state):
+            it, carry = state
+            frozen = carry[3]
+            return jnp.logical_and(
+                it < max_iterations, jnp.logical_not(jnp.all(frozen))
+            )
+
+        def body(state):
+            it, carry = state
+            carry, _ = step(carry, None)
+            return it + 1, carry
+
+        _, (R, t, rmse, frozen, _) = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), init)
+        )
+    else:
+        (R, t, rmse, frozen, _), _ = jax.lax.scan(
+            step, init, None, length=max_iterations
+        )
     return ICPResult(R=R, t=t, rmse=rmse, converged=frozen)

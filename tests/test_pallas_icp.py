@@ -86,3 +86,59 @@ def test_fused_flag_ignored_with_masks():
         src, tgt, max_iterations=5, src_mask=mask, fused_stats=True
     )
     assert np.isfinite(np.asarray(res.R)).all()
+
+
+def test_early_exit_matches_scan():
+    """while_loop early exit is bit-equivalent to the fixed scan."""
+    rng = np.random.default_rng(5)
+    B, N = 4, 192
+    src = rng.normal(size=(B, N, 3)).astype(np.float32)
+    R = np.stack(
+        [
+            Rotation.from_rotvec(0.05 * v).as_matrix()
+            for v in rng.normal(size=(B, 3))
+        ]
+    ).astype(np.float32)
+    tgt = np.einsum("bij,bnj->bni", R, src) + 0.01
+
+    res_scan = iterative_closest_point(
+        jnp.asarray(src), jnp.asarray(tgt),
+        max_iterations=50, fused_stats=True, early_exit=False,
+    )
+    res_wl = iterative_closest_point(
+        jnp.asarray(src), jnp.asarray(tgt),
+        max_iterations=50, fused_stats=True, early_exit=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_scan.R), np.asarray(res_wl.R), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_scan.t), np.asarray(res_wl.t), atol=1e-6
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res_scan.converged), np.asarray(res_wl.converged)
+    )
+
+
+def test_active_skip_and_exact_flag():
+    """Inactive pairs are skipped (garbage out) while active pairs'
+    stats are unaffected; exact=True matches too (f32 inputs on CPU
+    interpret are exact either way)."""
+    rng = np.random.default_rng(6)
+    B, N, M = 4, 96, 128
+    x = jnp.asarray(rng.normal(size=(B, N, 3)), jnp.float32)
+    src = jnp.asarray(rng.normal(size=(B, N, 3)), jnp.float32)
+    tgt = jnp.asarray(rng.normal(size=(B, M, 3)), jnp.float32)
+
+    full = icp_iteration_stats(x, src, tgt, interpret=True)
+    active = jnp.asarray([1, 0, 1, 0], jnp.int32)
+    part = icp_iteration_stats(x, src, tgt, active=active, interpret=True)
+    for u, v in zip(full, part):
+        np.testing.assert_allclose(
+            np.asarray(u)[::2], np.asarray(v)[::2], rtol=1e-6
+        )
+    exact = icp_iteration_stats(x, src, tgt, interpret=True, exact=True)
+    for u, v in zip(full, exact):
+        np.testing.assert_allclose(
+            np.asarray(u), np.asarray(v), rtol=1e-5, atol=1e-5
+        )
