@@ -11,9 +11,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
-#include <queue>
 #include <unordered_map>
-#include <unordered_set>
 #include <vector>
 
 namespace {
@@ -81,7 +79,18 @@ struct Simplifier {
   std::vector<char> face_alive;
   std::vector<std::vector<int64_t>> vertex_faces;
   int64_t alive_count = 0;
-  std::priority_queue<Candidate> heap;
+  // Min-heap managed directly (std::make/push/pop_heap) so Init can bulk
+  // heapify the seed edges in O(E) instead of E log E pushes.
+  std::vector<Candidate> heap;
+  // Latest push stamp per (translated) edge key. A popped entry whose
+  // stamp doesn't match is an OUTDATED COPY — a fresher push of the same
+  // edge is already in the heap — and is dropped instead of re-costed.
+  // Without this, stale copies chain-react: every pop of an old copy
+  // re-pushed yet another copy, and the profile showed 7x more quadric
+  // re-solves than collapses (865k re-costs for 122k collapses at 250k
+  // faces). Keys use stable vertex ids (never reused), so entries for
+  // retired keys are dead weight, not collisions.
+  std::unordered_map<uint64_t, uint64_t> latest_stamp;
   // Retired-vertex remap (union-find with path halving): heap entries
   // naming collapsed vertices are translated to their survivors on pop
   // instead of eagerly re-pushing every incident edge per collapse.
@@ -122,21 +131,25 @@ struct Simplifier {
     veto_eps = 1e-9 * (ext.Dot(ext) + 1e-30);
     faces.resize(nf);
     face_alive.assign(nf, 1);
-    vertex_faces.assign(nv, {});
     alive_count = nf;
+    // Adjacency with exact per-vertex reserve: the incremental
+    // push_back build cost ~500k reallocations at 250k faces (~half of
+    // a 630 ms Init).
+    std::vector<int32_t> deg(nv, 0);
     for (int64_t f = 0; f < nf; ++f) {
       faces[f] = {tris[3 * f], tris[3 * f + 1], tris[3 * f + 2]};
+      for (int k = 0; k < 3; ++k) ++deg[faces[f][k]];
+    }
+    vertex_faces.assign(nv, {});
+    for (int64_t v = 0; v < nv; ++v) vertex_faces[v].reserve(deg[v] + 4);
+    for (int64_t f = 0; f < nf; ++f) {
       for (int k = 0; k < 3; ++k) vertex_faces[faces[f][k]].push_back(f);
       AddFaceQuadric(f);
     }
-    // Seed heap with every edge.
-    std::unordered_set<uint64_t> seen;
-    for (int64_t f = 0; f < nf; ++f) {
-      for (int k = 0; k < 3; ++k) {
-        int64_t a = faces[f][k], b = faces[f][(k + 1) % 3];
-        if (seen.insert(PairKey(a, b)).second) PushCandidate(a, b);
-      }
-    }
+    // Heap seeding happens in Run(), after the threshold pre-pass, so
+    // only the surviving edges are costed into the heap (sort + unique
+    // over packed keys — an unordered_set at this volume was ~3x
+    // slower — then one O(E) make_heap).
   }
 
   void AddFaceQuadric(int64_t f) {
@@ -151,7 +164,7 @@ struct Simplifier {
       quadric[faces[f][k]].AddPlane(n.x, n.y, n.z, d);
   }
 
-  void PushCandidate(int64_t a, int64_t b) {
+  void PushCandidate(int64_t a, int64_t b, bool heapify = true) {
     Quadric q = quadric[a];
     q.Add(quadric[b]);
     double x, y, z;
@@ -167,7 +180,134 @@ struct Simplifier {
       double cm = q.Eval(mid.x, mid.y, mid.z);
       cost = std::min({c0, c1, cm});
     }
-    heap.push({cost, a, b, version[a] + version[b]});
+    const uint64_t stamp = version[a] + version[b];
+    latest_stamp[PairKey(a, b)] = stamp;
+    heap.push_back({cost, a, b, stamp});
+    if (heapify) std::push_heap(heap.begin(), heap.end());
+  }
+
+  // Cost + optimal position of collapsing (a, b).
+  double EdgeCost(int64_t a, int64_t b, Vec3* p_out = nullptr) const {
+    Quadric q = quadric[a];
+    q.Add(quadric[b]);
+    Vec3 p;
+    double cost;
+    if (q.Optimal(p.x, p.y, p.z)) {
+      cost = q.Eval(p.x, p.y, p.z);
+    } else {
+      const Vec3 mid{(pos[a].x + pos[b].x) / 2, (pos[a].y + pos[b].y) / 2,
+                     (pos[a].z + pos[b].z) / 2};
+      double c0 = q.Eval(pos[a].x, pos[a].y, pos[a].z);
+      double c1 = q.Eval(pos[b].x, pos[b].y, pos[b].z);
+      double cm = q.Eval(mid.x, mid.y, mid.z);
+      cost = std::min({c0, c1, cm});
+      p = cost == c0 ? pos[a] : (cost == c1 ? pos[b] : mid);
+    }
+    if (p_out) *p_out = p;
+    return cost;
+  }
+
+  // Collapse v1 into v0 at position p with combined quadric q.
+  void CollapseEdge(int64_t v0, int64_t v1, const Vec3& p) {
+    Quadric q = quadric[v0];
+    q.Add(quadric[v1]);
+    pos[v0] = p;
+    quadric[v0] = q;
+    version[v0]++;
+    parent[v1] = v0;
+    for (int64_t f : vertex_faces[v1]) {
+      if (!face_alive[f]) continue;
+      auto& fc = faces[f];
+      bool has0 = fc[0] == v0 || fc[1] == v0 || fc[2] == v0;
+      if (has0) {
+        face_alive[f] = 0;
+        --alive_count;
+      } else {
+        for (int k = 0; k < 3; ++k)
+          if (fc[k] == v1) fc[k] = v0;
+        vertex_faces[v0].push_back(f);
+      }
+    }
+    vertex_faces[v1].clear();
+    // Compact v0's face list: without this, dead faces accumulate on
+    // collapse "super-vertices" and FlipsNormal/neighbor scans degrade
+    // to O(n) per collapse (measured 38 s on a 200k-face mesh).
+    auto& vf = vertex_faces[v0];
+    vf.erase(std::remove_if(vf.begin(), vf.end(),
+                            [&](int64_t f) { return !face_alive[f]; }),
+             vf.end());
+  }
+
+  // Bulk reduction before the heap phase: most collapses on a dense
+  // isosurface mesh are "cheap" ones whose exact greedy order doesn't
+  // matter. Per round, cost every edge once, pick the cost quantile
+  // that yields the needed collapse count, and sweep the faces in scan
+  // order collapsing edges under that threshold (a per-round dirty
+  // guard keeps the sweep from cascading through just-moved
+  // neighborhoods; the same normal-flip veto applies). The exact
+  // lazy-heap phase then only handles the last ~4x reduction, where
+  // order matters. Profile at 250k->5k faces: the heap phase alone
+  // spent ~1.5 s (711k pops / 347k re-costs of a 12 MB heap); the
+  // sweep does the same collapses with linear scans.
+  void ThresholdPrePass(int64_t stop_faces) {
+    std::vector<char> dirty(pos.size(), 0);
+    std::vector<double> costs;
+    for (int round = 0; round < 12 && alive_count > stop_faces; ++round) {
+      costs.clear();
+      for (int64_t f = 0; f < (int64_t)faces.size(); ++f) {
+        if (!face_alive[f]) continue;
+        const auto& fc = faces[f];
+        for (int k = 0; k < 3; ++k) {
+          int64_t a = fc[k], b = fc[(k + 1) % 3];
+          if (a < b) costs.push_back(EdgeCost(a, b));
+        }
+      }
+      if (costs.empty()) break;
+      // Each collapse removes ~2 faces; aim the threshold at the cost
+      // quantile covering the remaining need (capped: dirty/flip
+      // guards block some candidates anyway).
+      int64_t need = (alive_count - stop_faces) / 2 + 1;
+      size_t idx = std::min<size_t>(need, costs.size() - 1);
+      std::nth_element(costs.begin(), costs.begin() + idx, costs.end());
+      const double thr = costs[idx];
+      std::fill(dirty.begin(), dirty.end(), 0);
+      int64_t collapsed = 0;
+      for (int64_t f = 0;
+           f < (int64_t)faces.size() && alive_count > stop_faces; ++f) {
+        if (!face_alive[f]) continue;
+        for (int k = 0; k < 3; ++k) {
+          int64_t a = faces[f][k], b = faces[f][(k + 1) % 3];
+          if (dirty[a] || dirty[b]) continue;
+          Vec3 p;
+          if (EdgeCost(a, b, &p) > thr) continue;
+          if (FlipsNormal(a, b, p)) continue;
+          CollapseEdge(a, b, p);
+          dirty[a] = 1;
+          ++collapsed;
+          if (!face_alive[f]) break;
+        }
+      }
+      if (collapsed < need / 20) break;  // stalled: let the heap finish
+    }
+  }
+
+  void SeedHeap() {
+    std::vector<uint64_t> keys;
+    keys.reserve(3 * alive_count);
+    for (int64_t f = 0; f < (int64_t)faces.size(); ++f) {
+      if (!face_alive[f]) continue;
+      for (int k = 0; k < 3; ++k)
+        keys.push_back(PairKey(faces[f][k], faces[f][(k + 1) % 3]));
+    }
+    std::sort(keys.begin(), keys.end());
+    keys.erase(std::unique(keys.begin(), keys.end()), keys.end());
+    heap.reserve(keys.size() + 64);
+    latest_stamp.reserve(2 * keys.size());
+    for (uint64_t key : keys)
+      PushCandidate(static_cast<int64_t>(key >> 32),
+                    static_cast<int64_t>(key & 0xffffffffu),
+                    /*heapify=*/false);
+    std::make_heap(heap.begin(), heap.end());
   }
 
   // Would collapsing (v0, v1) -> p flip any surviving face's normal?
@@ -196,68 +336,47 @@ struct Simplifier {
   }
 
   void Run(int64_t target_faces, double /*aggressiveness*/) {
-    // Lazy heap maintenance: collapses do NOT re-push incident edges
-    // (the eager variant pushed ~19 candidates per collapse — ~500k
-    // heap pushes + quadric solves for a 57k->5k run, the dominant
-    // cost by profile). Instead, entries are translated through the
-    // union-find on pop; a stale entry (version stamp mismatch) is
-    // re-costed and re-pushed once, only when it actually surfaces.
+    // Phase 1: threshold sweeps down to ~4x the target (linear scans,
+    // no heap). Phase 2: exact greedy lazy-heap for the order-sensitive
+    // tail. Lazy heap maintenance: collapses do NOT re-push incident
+    // edges (the eager variant pushed ~19 candidates per collapse —
+    // ~500k heap pushes + quadric solves for a 57k->5k run, the
+    // dominant cost by profile). Instead, entries are translated
+    // through the union-find on pop; a stale entry (version stamp
+    // mismatch) is re-costed and re-pushed once, only when it actually
+    // surfaces; outdated duplicates are dropped via latest_stamp.
+    ThresholdPrePass(std::max<int64_t>(4 * target_faces, 1024));
+    SeedHeap();
     int64_t budget = 100 * (int64_t)faces.size() + (1 << 20);
     while (alive_count > target_faces && !heap.empty() && budget-- > 0) {
-      Candidate c = heap.top();
-      heap.pop();
+      std::pop_heap(heap.begin(), heap.end());
+      Candidate c = heap.back();
+      heap.pop_back();
       int64_t v0 = Find(c.v0), v1 = Find(c.v1);
       if (v0 == v1) continue;  // edge collapsed away entirely
-      if (c.stamp != version[v0] + version[v1]) {
-        PushCandidate(v0, v1);  // re-cost with current quadrics
+      const uint64_t key = PairKey(v0, v1);
+      auto it = latest_stamp.find(key);
+      if (it != latest_stamp.end() && it->second != c.stamp)
+        continue;  // outdated copy; the latest push is elsewhere in heap
+      if (it == latest_stamp.end() ||
+          c.stamp != version[v0] + version[v1]) {
+        PushCandidate(v0, v1);  // re-cost with current quadrics, once
         continue;
       }
 
-      Quadric q = quadric[v0];
-      q.Add(quadric[v1]);
       Vec3 p;
-      if (!q.Optimal(p.x, p.y, p.z)) {
-        p = {(pos[v0].x + pos[v1].x) / 2, (pos[v0].y + pos[v1].y) / 2,
-             (pos[v0].z + pos[v1].z) / 2};
-      }
+      EdgeCost(v0, v1, &p);
       if (FlipsNormal(v0, v1, p)) {
         // Defer rather than drop: the neighborhood may open up after
         // nearby collapses. The penalty keeps a permanently vetoed
         // edge from spinning at the heap top (budget bounds the
         // pathological all-vetoed case).
-        heap.push({c.cost * 2.0 + veto_eps, v0, v1, c.stamp});
+        heap.push_back({c.cost * 2.0 + veto_eps, v0, v1, c.stamp});
+        std::push_heap(heap.begin(), heap.end());
         continue;
       }
 
-      // Collapse v1 into v0 at position p.
-      pos[v0] = p;
-      quadric[v0] = q;
-      version[v0]++;
-      parent[v1] = v0;
-
-      for (int64_t f : vertex_faces[v1]) {
-        if (!face_alive[f]) continue;
-        auto& fc = faces[f];
-        bool has0 = fc[0] == v0 || fc[1] == v0 || fc[2] == v0;
-        if (has0) {
-          face_alive[f] = 0;
-          --alive_count;
-        } else {
-          for (int k = 0; k < 3; ++k)
-            if (fc[k] == v1) fc[k] = v0;
-          vertex_faces[v0].push_back(f);
-        }
-      }
-      vertex_faces[v1].clear();
-
-      // Compact v0's face list: without this, dead faces accumulate on
-      // collapse "super-vertices" and FlipsNormal/neighbor scans degrade
-      // to O(n) per collapse (measured 38 s on a 200k-face mesh).
-      auto& vf = vertex_faces[v0];
-      vf.erase(
-          std::remove_if(vf.begin(), vf.end(),
-                         [&](int64_t f) { return !face_alive[f]; }),
-          vf.end());
+      CollapseEdge(v0, v1, p);
     }
   }
 
