@@ -16,13 +16,66 @@
 
 #include <cstdint>
 #include <cstring>
-#include <unordered_map>
 #include <vector>
 
 namespace {
 
 struct V3 {
   float x, y, z;
+};
+
+// Open-addressing hash map (linear probe, power-of-2 capacity) for the
+// edge -> vertex-id dedup. ~2-3x faster than std::unordered_map at the
+// ~750k lookups a 128^3 extraction performs. Keys are packed grid-corner
+// pairs and can never be ~0ull (corner ids are < 2^32 grid size).
+struct EdgeMap {
+  std::vector<uint64_t> keys;
+  std::vector<int64_t> vals;
+  uint64_t mask = 0;
+  size_t count = 0;
+
+  void Init(size_t expect) {
+    size_t cap = 64;
+    while (cap < expect * 2) cap <<= 1;
+    keys.assign(cap, ~0ull);
+    vals.assign(cap, 0);
+    mask = cap - 1;
+    count = 0;
+  }
+  static inline size_t Hash(uint64_t k) {
+    k *= 0x9E3779B97F4A7C15ull;
+    return static_cast<size_t>(k ^ (k >> 29));
+  }
+  // Returns slot for key; *found tells whether it held a value already.
+  int64_t* FindOrInsert(uint64_t key, bool* found) {
+    if (count * 10 >= keys.size() * 7) Grow();
+    size_t i = Hash(key) & mask;
+    while (keys[i] != ~0ull) {
+      if (keys[i] == key) {
+        *found = true;
+        return &vals[i];
+      }
+      i = (i + 1) & mask;
+    }
+    keys[i] = key;
+    ++count;
+    *found = false;
+    return &vals[i];
+  }
+  void Grow() {
+    std::vector<uint64_t> ok = std::move(keys);
+    std::vector<int64_t> ov = std::move(vals);
+    keys.assign(ok.size() * 2, ~0ull);
+    vals.assign(ok.size() * 2, 0);
+    mask = keys.size() - 1;
+    for (size_t j = 0; j < ok.size(); ++j) {
+      if (ok[j] == ~0ull) continue;
+      size_t i = Hash(ok[j]) & mask;
+      while (keys[i] != ~0ull) i = (i + 1) & mask;
+      keys[i] = ok[j];
+      vals[i] = ov[j];
+    }
+  }
 };
 
 // The 6 tetrahedra of the Kuhn decomposition, as corner indices of the unit
@@ -36,7 +89,7 @@ static const int kTets[6][4] = {
 struct ExtractState {
   std::vector<float> verts;    // 3 floats per vertex
   std::vector<int64_t> tris;   // 3 ints per triangle
-  std::unordered_map<uint64_t, int64_t> edge_to_vertex;
+  EdgeMap edge_to_vertex;
 };
 
 // Unique key for the (grid-corner a, grid-corner b) edge, order-invariant.
@@ -49,8 +102,9 @@ static int64_t VertexOnEdge(ExtractState& st, uint64_t ia, uint64_t ib,
                             const V3& pa, const V3& pb, float va, float vb,
                             float iso) {
   const uint64_t key = EdgeKey(ia, ib);
-  auto it = st.edge_to_vertex.find(key);
-  if (it != st.edge_to_vertex.end()) return it->second;
+  bool found;
+  int64_t* slot = st.edge_to_vertex.FindOrInsert(key, &found);
+  if (found) return *slot;
   float denom = vb - va;
   float t = denom == 0.0f ? 0.5f : (iso - va) / denom;
   if (t < 0.0f) t = 0.0f;
@@ -61,7 +115,7 @@ static int64_t VertexOnEdge(ExtractState& st, uint64_t ia, uint64_t ib,
   st.verts.push_back(p.x);
   st.verts.push_back(p.y);
   st.verts.push_back(p.z);
-  st.edge_to_vertex.emplace(key, idx);
+  *slot = idx;
   return idx;
 }
 
@@ -138,10 +192,6 @@ struct IsoResult {
 IsoResult* isosurface_extract(const float* values, int64_t nx, int64_t ny,
                               int64_t nz, float isovalue) {
   ExtractState st;
-  // Reserve a heuristic amount to limit rehashing.
-  st.verts.reserve(16384);
-  st.tris.reserve(32768);
-
   const int64_t syz = ny * nz;
   auto val = [&](int64_t x, int64_t y, int64_t z) {
     return values[x * syz + y * nz + z];
@@ -150,33 +200,94 @@ IsoResult* isosurface_extract(const float* values, int64_t nx, int64_t ny,
     return static_cast<uint64_t>(x * syz + y * nz + z);
   };
 
+  // Pass 1: bit-pack (value > iso) along z, one word row per (x, y).
+  // The vast majority of cells don't cross the isosurface (~2-5% on a
+  // 128^3 occupancy grid); the packed rows let pass 2 reject 64 cells
+  // per AND/OR instead of gathering 8 corners each.
+  const int64_t nwords = (nz + 63) >> 6;
+  std::vector<uint64_t> above((size_t)(nx * ny) * nwords, 0);
+  for (int64_t x = 0; x < nx; ++x) {
+    for (int64_t y = 0; y < ny; ++y) {
+      const float* col = values + x * syz + y * nz;
+      uint64_t* row = above.data() + (size_t)(x * ny + y) * nwords;
+      for (int64_t z = 0; z < nz; ++z)
+        if (col[z] > isovalue) row[z >> 6] |= 1ull << (z & 63);
+    }
+  }
+
+  // Pass 1.5: count crossing cells to size the buffers (a marching-tet
+  // cell emits ~5 triangles / ~2.5 new vertices on average).
+  int64_t crossing = 0;
+  auto cell_masks = [&](const uint64_t* r00, const uint64_t* r01,
+                        const uint64_t* r10, const uint64_t* r11,
+                        int64_t w) -> uint64_t {
+    const uint64_t a = r00[w] | r01[w] | r10[w] | r11[w];
+    const uint64_t b = r00[w] & r01[w] & r10[w] & r11[w];
+    const bool more = (w + 1) < nwords;
+    const uint64_t a_next =
+        more ? (r00[w + 1] | r01[w + 1] | r10[w + 1] | r11[w + 1]) : 0;
+    const uint64_t b_next =
+        more ? (r00[w + 1] & r01[w + 1] & r10[w + 1] & r11[w + 1]) : 0;
+    const uint64_t a_hi = (a >> 1) | (a_next << 63);
+    const uint64_t b_hi = (b >> 1) | (b_next << 63);
+    // Cell z crosses iff some corner is above and not all corners are.
+    uint64_t cross = (a | a_hi) & ~(b & b_hi);
+    // Mask off cells whose +z neighbor is out of range.
+    const int64_t zbase = w << 6;
+    if (zbase + 63 >= nz - 1) {
+      const int64_t valid = nz - 1 - zbase;  // number of valid cells
+      cross &= valid <= 0 ? 0 : (valid >= 64 ? ~0ull : (1ull << valid) - 1);
+    }
+    return cross;
+  };
   for (int64_t x = 0; x + 1 < nx; ++x) {
     for (int64_t y = 0; y + 1 < ny; ++y) {
-      for (int64_t z = 0; z + 1 < nz; ++z) {
-        // Cube corner data; corner index bit 0 -> +x, bit 1 -> +y, bit 2 -> +z.
-        float cv[8];
-        V3 cp[8];
-        uint64_t cg[8];
-        bool any_lo = false, any_hi = false;
-        for (int c = 0; c < 8; ++c) {
-          int64_t cx = x + (c & 1), cy = y + ((c >> 1) & 1),
-                  cz = z + ((c >> 2) & 1);
-          cv[c] = val(cx, cy, cz);
-          cp[c] = V3{(float)cx, (float)cy, (float)cz};
-          cg[c] = gid(cx, cy, cz);
-          (cv[c] > isovalue ? any_hi : any_lo) = true;
-        }
-        if (!any_lo || !any_hi) continue;
-        for (const auto& tet : kTets) {
-          uint64_t gi[4];
-          V3 p[4];
-          float v[4];
-          for (int i = 0; i < 4; ++i) {
-            gi[i] = cg[tet[i]];
-            p[i] = cp[tet[i]];
-            v[i] = cv[tet[i]];
+      const uint64_t* r00 = above.data() + (size_t)(x * ny + y) * nwords;
+      const uint64_t* r01 = r00 + nwords;
+      const uint64_t* r10 = r00 + (size_t)ny * nwords;
+      const uint64_t* r11 = r10 + nwords;
+      for (int64_t w = 0; w < nwords; ++w)
+        crossing += __builtin_popcountll(cell_masks(r00, r01, r10, r11, w));
+    }
+  }
+  st.verts.reserve(3 * (crossing * 3 + 64));
+  st.tris.reserve(3 * (crossing * 6 + 64));
+  st.edge_to_vertex.Init(crossing * 3 + 64);
+
+  // Pass 2: full tetrahedra processing on crossing cells only.
+  for (int64_t x = 0; x + 1 < nx; ++x) {
+    for (int64_t y = 0; y + 1 < ny; ++y) {
+      const uint64_t* r00 = above.data() + (size_t)(x * ny + y) * nwords;
+      const uint64_t* r01 = r00 + nwords;
+      const uint64_t* r10 = r00 + (size_t)ny * nwords;
+      const uint64_t* r11 = r10 + nwords;
+      for (int64_t w = 0; w < nwords; ++w) {
+        uint64_t cross = cell_masks(r00, r01, r10, r11, w);
+        while (cross) {
+          const int64_t z = (w << 6) + __builtin_ctzll(cross);
+          cross &= cross - 1;
+          // Cube corner data; corner bit 0 -> +x, bit 1 -> +y, bit 2 -> +z.
+          float cv[8];
+          V3 cp[8];
+          uint64_t cg[8];
+          for (int c = 0; c < 8; ++c) {
+            int64_t cx = x + (c & 1), cy = y + ((c >> 1) & 1),
+                    cz = z + ((c >> 2) & 1);
+            cv[c] = val(cx, cy, cz);
+            cp[c] = V3{(float)cx, (float)cy, (float)cz};
+            cg[c] = gid(cx, cy, cz);
           }
-          DoTet(st, gi, p, v, isovalue);
+          for (const auto& tet : kTets) {
+            uint64_t gi[4];
+            V3 p[4];
+            float v[4];
+            for (int i = 0; i < 4; ++i) {
+              gi[i] = cg[tet[i]];
+              p[i] = cp[tet[i]];
+              v[i] = cv[tet[i]];
+            }
+            DoTet(st, gi, p, v, isovalue);
+          }
         }
       }
     }
