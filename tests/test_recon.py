@@ -167,3 +167,29 @@ def test_simplify_reaches_target_on_sliver_heavy_mesh():
     tree = KDTree(v.astype(np.float32))
     d, _ = tree.query(v2.astype(np.float32))
     assert float(np.mean(d)) < 1.0  # voxel units
+
+
+def test_isosurface_watertight_at_word_boundary_sizes():
+    """The marching-tetrahedra cell scan packs the (value > iso) field
+    into 64-bit words along z; an off-by-one at a word boundary would
+    silently skip a cell column and open holes. A sphere surface away
+    from the grid boundary must be closed: every undirected edge shared
+    by exactly two faces, and Euler characteristic V - E + F == 2."""
+    import numpy as np
+
+    from livingscenes_tpu.native.bindings import marching_isosurface
+
+    for res in (17, 63, 64, 65, 66, 97):
+        idx = np.linspace(-1, 1, res)
+        X, Y, Z = np.meshgrid(idx, idx, idx, indexing="ij")
+        grid = (0.72 - np.sqrt(X**2 + Y**2 + Z**2)).astype(np.float32)
+        v, f = marching_isosurface(grid, 0.0)
+        assert len(f) > 0, res
+        edges = np.concatenate(
+            [f[:, [0, 1]], f[:, [1, 2]], f[:, [2, 0]]], axis=0
+        )
+        edges = np.sort(edges, axis=1)
+        _, counts = np.unique(edges, axis=0, return_counts=True)
+        assert (counts == 2).all(), (res, np.bincount(counts))
+        n_edges = counts.shape[0]
+        assert len(v) - n_edges + len(f) == 2, res
