@@ -18,7 +18,11 @@ and activations, attention, and the K-reduction, writing only the
 Mosaic constraints honored (ROUND1_NOTES): no batched dot (the 3 vector
 components are unrolled python-side), no per-row dynamic gather (one-hot
 matmul), head sum / broadcast via constant 0/1 matmuls instead of lane
-reshapes.
+reshapes. The gather itself runs ONCE per tile on a flat (N_src, 3C)
+source layout — full MXU lane width instead of three width-C matmuls —
+and component selection is folded into exactly-zero-padded weight blocks
+(_component_weights), which keeps results bit-identical to per-component
+gathers.
 
 Numerics: identical operations to the XLA path up to f32 matmul rounding;
 validated in tests/test_pallas_attention.py (interpret mode, CPU).
@@ -101,8 +105,35 @@ def _vec_act_backward(g, y, d_t, res, neg_slope):
     return d_y, d_d_t
 
 
+def _component_weights(wl):
+    """(C, W) -> 3-list of (3C, W) weights with wl in component block i
+    and exact zeros elsewhere, so that with the flat source layout
+    (lanes [i*C:(i+1)*C] = vector component i)
+
+        dot(nn_flat, wl3[i]) == dot(nn_i, wl)   bit-for-bit
+
+    (the extra contraction terms are 0 * x = exact 0 in the f32
+    accumulator). This lets the one-hot gather run ONCE at lane width
+    3C instead of three times at width C — at C = 32..64 the per-
+    component gather matmuls only fill 32..64 of the MXU's 128 output
+    lanes, and the gather is the dominant cost of every fused edge
+    layer (docs/ROOFLINE.md encode profile)."""
+    c_in = wl.shape[0]
+    wl3 = jnp.concatenate([wl, wl, wl], axis=0)  # (3C, W)
+    iota = jax.lax.broadcasted_iota(jnp.int32, wl3.shape, 0)
+    return [
+        wl3 * (iota // c_in == i).astype(jnp.float32) for i in range(3)
+    ]
+
+
+def _block_row_mask(c_in, width, i):
+    """(3C, width) mask selecting sublane rows of component block i."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, (3 * c_in, width), 0)
+    return (iota // c_in == i).astype(jnp.float32)
+
+
 def _attention_kernel(
-    src_ref,     # (1, 3, N_src, C)
+    src_ref,     # (1, N_src, 3*C)  flat component layout
     ydst_ref,    # (1, 3, TN, 2*O)  = W_delta @ dst (no K axis)
     qn_ref,      # (1, 3, TN, O)    channel-normalized Q features
     idx_ref,     # (1, TN, K) int32
@@ -135,14 +166,16 @@ def _attention_kernel(
         (src_iota == idx_ref[0][..., None]).astype(jnp.float32)
     ).reshape(E, n_src)
 
-    # ---- gather + edge conv per vector component ----
-    wl = wl_ref[:]  # (C, 2O)
+    # ---- one flat gather (all 3 components, full lane width) + conv ----
+    wl3 = _component_weights(wl_ref[:])  # 3 x (3C, 2O)
+    nn_flat = jnp.dot(
+        onehot, src_ref[0], preferred_element_type=jnp.float32
+    )  # (E, 3C)
     yk, yv = [], []
     for i in range(3):
-        nn_i = jnp.dot(
-            onehot, src_ref[0, i], preferred_element_type=jnp.float32
-        )  # (E, C)
-        y_i = jnp.dot(nn_i, wl, preferred_element_type=jnp.float32)
+        y_i = jnp.dot(
+            nn_flat, wl3[i], preferred_element_type=jnp.float32
+        )
         # add the dst half (broadcast each dst row over its K edges)
         y_i = y_i + rep_rows(ydst_ref[0, i])
         yk.append(y_i[:, :O])
@@ -194,7 +227,7 @@ def _attention_kernel(
 
 
 def _mean_edge_kernel(
-    src_ref,     # (1, 3, N_src, C)
+    src_ref,     # (1, N_src, 3*C)  flat component layout
     ydst_ref,    # (1, 3, TN, O)  = (W_r - W_l) @ dst
     idx_ref,     # (1, TN, K) int32
     wl_ref,      # (C, O)  W_l^T
@@ -217,13 +250,15 @@ def _mean_edge_kernel(
         (src_iota == idx_ref[0][..., None]).astype(jnp.float32)
     ).reshape(E, n_src)
 
-    wl = wl_ref[:]
+    wl3 = _component_weights(wl_ref[:])
+    nn_flat = jnp.dot(
+        onehot, src_ref[0], preferred_element_type=jnp.float32
+    )  # (E, 3C)
     y = []
     for i in range(3):
-        nn_i = jnp.dot(
-            onehot, src_ref[0, i], preferred_element_type=jnp.float32
+        y_i = jnp.dot(
+            nn_flat, wl3[i], preferred_element_type=jnp.float32
         )
-        y_i = jnp.dot(nn_i, wl, preferred_element_type=jnp.float32)
         y_i = y_i + jnp.broadcast_to(
             ydst_ref[0, i][:, None, :], (TN, k, O)
         ).reshape(E, O)
@@ -235,15 +270,15 @@ def _mean_edge_kernel(
 
 
 def _mean_edge_bwd_kernel(
-    src_ref,     # (1, 3, N_src, C)
+    src_ref,     # (1, N_src, 3*C)  flat component layout
     ydst_ref,    # (1, 3, TN, O)
     idx_ref,     # (1, TN, K)
     wl_ref,      # (C, O)
     d_ref,       # (O, O)
     g_ref,       # (1, 3, TN, O) upstream cotangent
-    dsrc_ref,    # out (1, 3, N_src, C)  accumulated over dst tiles
+    dsrc_ref,    # out (1, N_src, 3*C)   accumulated over dst tiles
     dydst_ref,   # out (1, 3, TN, O)
-    dwl_ref,     # out (C, O)            accumulated over batch + tiles
+    dwl_ref,     # out (3*C, O)  block i = nn_i^T d_y_i; fold in XLA
     dd_ref,      # out (O, O)            accumulated over batch + tiles
     *,
     n_src: int,
@@ -266,18 +301,19 @@ def _mean_edge_bwd_kernel(
         (src_iota == idx_ref[0][..., None]).astype(jnp.float32)
     ).reshape(E, n_src)
 
-    wl = wl_ref[:]
-    nn = []
+    wl3 = _component_weights(wl_ref[:])
+    c_in = wl_ref.shape[0]
+    nn_flat = jnp.dot(
+        onehot, src_ref[0], preferred_element_type=jnp.float32
+    )  # (E, 3C)
     y = []
     for i in range(3):
-        nn_i = jnp.dot(
-            onehot, src_ref[0, i], preferred_element_type=jnp.float32
+        y_i = jnp.dot(
+            nn_flat, wl3[i], preferred_element_type=jnp.float32
         )
-        y_i = jnp.dot(nn_i, wl, preferred_element_type=jnp.float32)
         y_i = y_i + jnp.broadcast_to(
             ydst_ref[0, i][:, None, :], (TN, k, O)
         ).reshape(E, O)
-        nn.append(nn_i)
         y.append(y_i)
 
     _, res = _vec_act_forward(y, d_ref[:], neg_slope)
@@ -292,26 +328,31 @@ def _mean_edge_bwd_kernel(
     ]
     d_y, d_d = _vec_act_backward(g, y, d_ref[:], res, neg_slope)
 
-    dwl_acc = jnp.zeros_like(wl)
+    # d_nn accumulates flat ((E, 3C), block i from d_y_i @ wl^T) so the
+    # one-hot^T scatter also runs once at full lane width; dwl comes out
+    # block-stacked (3C, O) and is folded (sum over blocks) in XLA.
+    dwl_acc = jnp.zeros((3 * c_in, O), jnp.float32)
+    d_nn_flat = jnp.zeros_like(nn_flat)
     for i in range(3):
-        d_nn_i = jnp.dot(
-            d_y[i], wl.T, preferred_element_type=jnp.float32
-        )  # (E, C)
+        d_nn_flat = d_nn_flat + jnp.dot(
+            d_y[i], wl3[i].T, preferred_element_type=jnp.float32
+        )  # (E, 3C), component block i
         dwl_acc = dwl_acc + jnp.dot(
-            nn[i].T, d_y[i], preferred_element_type=jnp.float32
-        )
-        dsrc_i = jnp.dot(
-            onehot.T, d_nn_i, preferred_element_type=jnp.float32
-        )  # (N_src, C)
+            nn_flat.T, d_y[i], preferred_element_type=jnp.float32
+        ) * _block_row_mask(c_in, O, i)
         dydst_ref[0, i] = jnp.sum(d_y[i].reshape(TN, k, O), axis=1)
 
-        @pl.when(t == 0)
-        def _(i=i, dsrc_i=dsrc_i):
-            dsrc_ref[0, i] = dsrc_i
+    dsrc_flat = jnp.dot(
+        onehot.T, d_nn_flat, preferred_element_type=jnp.float32
+    )  # (N_src, 3C)
 
-        @pl.when(t != 0)
-        def _(i=i, dsrc_i=dsrc_i):
-            dsrc_ref[0, i] = dsrc_ref[0, i] + dsrc_i
+    @pl.when(t == 0)
+    def _():
+        dsrc_ref[0] = dsrc_flat
+
+    @pl.when(t != 0)
+    def _():
+        dsrc_ref[0] = dsrc_ref[0] + dsrc_flat
 
     first = (b == 0) & (t == 0)
 
@@ -327,12 +368,14 @@ def _mean_edge_bwd_kernel(
 
 
 def _mean_prep(src_f, dst_f, W, D):
-    C = src_f.shape[2]
+    B, N_src, C, _ = src_f.shape
     W_l = W[:, :C]
     W_delta = W[:, C:] - W[:, :C]
     y_dst = jnp.einsum("oc,bnci->bino", W_delta, dst_f)  # (B, 3, Nd, O)
-    src3 = jnp.transpose(src_f, (0, 3, 1, 2))
-    return src3, y_dst, W_l, W_delta
+    # Flat component layout for the single wide gather: lane i*C + c is
+    # component i of channel c.
+    src_flat = jnp.transpose(src_f, (0, 1, 3, 2)).reshape(B, N_src, 3 * C)
+    return src_flat, y_dst, W_l, W_delta
 
 
 def _mean_fwd_impl(src_f, dst_f, idx, W, D, neg_slope, interpret, tile):
@@ -340,7 +383,7 @@ def _mean_fwd_impl(src_f, dst_f, idx, W, D, neg_slope, interpret, tile):
     N_dst = dst_f.shape[1]
     K = idx.shape[-1]
     O = W.shape[0]
-    src3, y_dst, W_l, _ = _mean_prep(src_f, dst_f, W, D)
+    src_flat, y_dst, W_l, _ = _mean_prep(src_f, dst_f, W, D)
 
     TN = tile or _pick_tile(N_dst, N_src, C, O, K)
     out3 = pl.pallas_call(
@@ -354,7 +397,7 @@ def _mean_fwd_impl(src_f, dst_f, idx, W, D, neg_slope, interpret, tile):
         grid=(B, N_dst // TN),
         in_specs=[
             pl.BlockSpec(
-                (1, 3, N_src, C), lambda b, t: (b, 0, 0, 0),
+                (1, N_src, 3 * C), lambda b, t: (b, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -379,7 +422,7 @@ def _mean_fwd_impl(src_f, dst_f, idx, W, D, neg_slope, interpret, tile):
         out_shape=jax.ShapeDtypeStruct((B, 3, N_dst, O), jnp.float32),
         interpret=interpret,
     )(
-        src3.astype(jnp.float32),
+        src_flat.astype(jnp.float32),
         y_dst.astype(jnp.float32),
         idx.astype(jnp.int32),
         jnp.transpose(W_l).astype(jnp.float32),
@@ -393,17 +436,17 @@ def _mean_bwd_impl(src_f, dst_f, idx, W, D, g, neg_slope, interpret, tile):
     N_dst = dst_f.shape[1]
     K = idx.shape[-1]
     O = W.shape[0]
-    src3, y_dst, W_l, W_delta = _mean_prep(src_f, dst_f, W, D)
+    src_flat, y_dst, W_l, W_delta = _mean_prep(src_f, dst_f, W, D)
     g3 = jnp.transpose(g, (0, 3, 1, 2))  # (B, 3, Nd, O)
 
     TN = tile or _pick_tile(N_dst, N_src, C, O, K, factor=2)
     out_shapes = (
-        jax.ShapeDtypeStruct((B, 3, N_src, C), jnp.float32),  # d_src3
+        jax.ShapeDtypeStruct((B, N_src, 3 * C), jnp.float32),  # d_src_flat
         jax.ShapeDtypeStruct((B, 3, N_dst, O), jnp.float32),  # d_ydst
-        jax.ShapeDtypeStruct((C, O), jnp.float32),            # d_wl
+        jax.ShapeDtypeStruct((3 * C, O), jnp.float32),        # d_wl blocks
         jax.ShapeDtypeStruct((O, O), jnp.float32),            # d_d
     )
-    d_src3, d_ydst, d_wl_t, d_d_t = pl.pallas_call(
+    d_src_flat, d_ydst, d_wl3_t, d_d_t = pl.pallas_call(
         functools.partial(
             _mean_edge_bwd_kernel,
             n_src=N_src,
@@ -414,7 +457,7 @@ def _mean_bwd_impl(src_f, dst_f, idx, W, D, g, neg_slope, interpret, tile):
         grid=(B, N_dst // TN),
         in_specs=[
             pl.BlockSpec(
-                (1, 3, N_src, C), lambda b, t: (b, 0, 0, 0),
+                (1, N_src, 3 * C), lambda b, t: (b, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -438,7 +481,7 @@ def _mean_bwd_impl(src_f, dst_f, idx, W, D, g, neg_slope, interpret, tile):
         ],
         out_specs=(
             pl.BlockSpec(
-                (1, 3, N_src, C), lambda b, t: (b, 0, 0, 0),
+                (1, N_src, 3 * C), lambda b, t: (b, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -446,7 +489,7 @@ def _mean_bwd_impl(src_f, dst_f, idx, W, D, g, neg_slope, interpret, tile):
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (C, O), lambda b, t: (0, 0), memory_space=pltpu.VMEM
+                (3 * C, O), lambda b, t: (0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
                 (O, O), lambda b, t: (0, 0), memory_space=pltpu.VMEM
@@ -455,18 +498,21 @@ def _mean_bwd_impl(src_f, dst_f, idx, W, D, g, neg_slope, interpret, tile):
         out_shape=out_shapes,
         interpret=interpret,
     )(
-        src3.astype(jnp.float32),
+        src_flat.astype(jnp.float32),
         y_dst.astype(jnp.float32),
         idx.astype(jnp.int32),
         jnp.transpose(W_l).astype(jnp.float32),
         jnp.transpose(D).astype(jnp.float32),
         g3.astype(jnp.float32),
     )
-    d_src_f = jnp.transpose(d_src3, (0, 2, 3, 1)).astype(src_f.dtype)
+    d_src_f = jnp.transpose(
+        d_src_flat.reshape(B, N_src, 3, C), (0, 1, 3, 2)
+    ).astype(src_f.dtype)
     d_dst_f = jnp.einsum("oc,bino->bnci", W_delta, d_ydst).astype(
         dst_f.dtype
     )
     d_W_delta = jnp.einsum("bino,bnci->oc", d_ydst, dst_f)
+    d_wl_t = d_wl3_t.reshape(3, C, O).sum(0)
     d_W_l = jnp.transpose(d_wl_t)
     d_W = jnp.concatenate(
         [d_W_l - d_W_delta, d_W_delta], axis=1
@@ -550,7 +596,7 @@ def _pick_tile(
 
 
 def _attention_bwd_kernel(
-    src_ref,     # (1, 3, N_src, C)
+    src_ref,     # (1, N_src, 3*C)  flat component layout
     ydst_ref,    # (1, 3, TN, 2*O)
     qn_ref,      # (1, 3, TN, O)
     idx_ref,     # (1, TN, K)
@@ -558,10 +604,10 @@ def _attention_bwd_kernel(
     dk_ref,      # (O, O)
     dv_ref,      # (O, O)
     g_ref,       # (1, 3, TN, O) upstream cotangent
-    dsrc_ref,    # out (1, 3, N_src, C)   accumulated over dst tiles
+    dsrc_ref,    # out (1, N_src, 3*C)    accumulated over dst tiles
     dydst_ref,   # out (1, 3, TN, 2*O)
     dqn_ref,     # out (1, 3, TN, O)
-    dwl_ref,     # out (C, 2*O)           accumulated over batch + tiles
+    dwl_ref,     # out (3*C, 2*O)  block i = nn_i^T d_y_i; fold in XLA
     ddk_ref,     # out (O, O)             accumulated over batch + tiles
     ddv_ref,     # out (O, O)             accumulated over batch + tiles
     *,
@@ -593,15 +639,16 @@ def _attention_bwd_kernel(
     ).reshape(E, n_src)
 
     # ---- recompute forward -------------------------------------------
-    wl = wl_ref[:]
-    nn, yk, yv = [], [], []
+    wl3 = _component_weights(wl_ref[:])
+    nn_flat = jnp.dot(
+        onehot, src_ref[0], preferred_element_type=jnp.float32
+    )  # (E, 3C)
+    yk, yv = [], []
     for i in range(3):
-        nn_i = jnp.dot(
-            onehot, src_ref[0, i], preferred_element_type=jnp.float32
+        y_i = jnp.dot(
+            nn_flat, wl3[i], preferred_element_type=jnp.float32
         )
-        y_i = jnp.dot(nn_i, wl, preferred_element_type=jnp.float32)
         y_i = y_i + rep_rows(ydst_ref[0, i])
-        nn.append(nn_i)
         yk.append(y_i[:, :O])
         yv.append(y_i[:, O:])
 
@@ -681,27 +728,30 @@ def _attention_bwd_kernel(
     d_yk, d_dk = _vec_act_backward(d_kf, yk, dk_ref[:], res_k, neg_slope)
     d_yv, d_dv = _vec_act_backward(d_vf, yv, dv_ref[:], res_v, neg_slope)
 
-    dwl_acc = jnp.zeros_like(wl)
+    c_in = wl_ref.shape[0]
+    dwl_acc = jnp.zeros((3 * c_in, 2 * O), jnp.float32)
+    d_nn_flat = jnp.zeros_like(nn_flat)
     for i in range(3):
         d_y_i = jnp.concatenate([d_yk[i], d_yv[i]], axis=1)  # (E, 2O)
-        d_nn_i = jnp.dot(
-            d_y_i, wl.T, preferred_element_type=jnp.float32
-        )
+        d_nn_flat = d_nn_flat + jnp.dot(
+            d_y_i, wl3[i].T, preferred_element_type=jnp.float32
+        )  # (E, 3C), component block i
         dwl_acc = dwl_acc + jnp.dot(
-            nn[i].T, d_y_i, preferred_element_type=jnp.float32
-        )
-        dsrc_i = jnp.dot(
-            onehot.T, d_nn_i, preferred_element_type=jnp.float32
-        )
+            nn_flat.T, d_y_i, preferred_element_type=jnp.float32
+        ) * _block_row_mask(c_in, 2 * O, i)
         dydst_ref[0, i] = jnp.sum(d_y_i.reshape(TN, k, 2 * O), axis=1)
 
-        @pl.when(t == 0)
-        def _(i=i, dsrc_i=dsrc_i):
-            dsrc_ref[0, i] = dsrc_i
+    dsrc_flat = jnp.dot(
+        onehot.T, d_nn_flat, preferred_element_type=jnp.float32
+    )  # (N_src, 3C)
 
-        @pl.when(t != 0)
-        def _(i=i, dsrc_i=dsrc_i):
-            dsrc_ref[0, i] = dsrc_ref[0, i] + dsrc_i
+    @pl.when(t == 0)
+    def _():
+        dsrc_ref[0] = dsrc_flat
+
+    @pl.when(t != 0)
+    def _():
+        dsrc_ref[0] = dsrc_ref[0] + dsrc_flat
 
     first = (b == 0) & (t == 0)
 
@@ -719,15 +769,15 @@ def _attention_bwd_kernel(
 
 
 def _attn_prep(src_f, dst_f, q_n, W_K, W_V):
-    C = src_f.shape[2]
+    B, N_src, C, _ = src_f.shape
     W_delta = jnp.concatenate(
         [W_K[:, C:] - W_K[:, :C], W_V[:, C:] - W_V[:, :C]], axis=0
     )  # (2O, C)
     y_dst = jnp.einsum("oc,bnci->bino", W_delta, dst_f)  # (B, 3, Nd, 2O)
     W_l = jnp.concatenate([W_K[:, :C], W_V[:, :C]], axis=0)  # (2O, C)
-    src3 = jnp.transpose(src_f, (0, 3, 1, 2))
+    src_flat = jnp.transpose(src_f, (0, 1, 3, 2)).reshape(B, N_src, 3 * C)
     qn3 = jnp.transpose(q_n, (0, 3, 1, 2))
-    return src3, y_dst, qn3, W_l, W_delta
+    return src_flat, y_dst, qn3, W_l, W_delta
 
 
 def _attn_fwd_impl(
@@ -738,7 +788,7 @@ def _attn_fwd_impl(
     N_dst = dst_f.shape[1]
     K = idx.shape[-1]
     O = W_K.shape[0]
-    src3, y_dst, qn3, W_l, _ = _attn_prep(src_f, dst_f, q_n, W_K, W_V)
+    src_flat, y_dst, qn3, W_l, _ = _attn_prep(src_f, dst_f, q_n, W_K, W_V)
 
     TN = tile or _pick_tile(N_dst, N_src, C, O, K)
     grid = (B, N_dst // TN)
@@ -756,7 +806,7 @@ def _attn_fwd_impl(
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (1, 3, N_src, C), lambda b, t: (b, 0, 0, 0),
+                (1, N_src, 3 * C), lambda b, t: (b, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -788,7 +838,7 @@ def _attn_fwd_impl(
         out_shape=jax.ShapeDtypeStruct((B, 3, N_dst, O), jnp.float32),
         interpret=interpret,
     )(
-        src3.astype(jnp.float32),
+        src_flat.astype(jnp.float32),
         y_dst.astype(jnp.float32),
         qn3.astype(jnp.float32),
         idx.astype(jnp.int32),
@@ -807,22 +857,22 @@ def _attn_bwd_impl(
     N_dst = dst_f.shape[1]
     K = idx.shape[-1]
     O = W_K.shape[0]
-    src3, y_dst, qn3, W_l, W_delta = _attn_prep(
+    src_flat, y_dst, qn3, W_l, W_delta = _attn_prep(
         src_f, dst_f, q_n, W_K, W_V
     )
     g3 = jnp.transpose(g, (0, 3, 1, 2))  # (B, 3, Nd, O)
 
     TN = tile or _pick_tile(N_dst, N_src, C, O, K, factor=3)
     out_shapes = (
-        jax.ShapeDtypeStruct((B, 3, N_src, C), jnp.float32),    # d_src3
+        jax.ShapeDtypeStruct((B, N_src, 3 * C), jnp.float32),  # d_src_flat
         jax.ShapeDtypeStruct((B, 3, N_dst, 2 * O), jnp.float32),  # d_ydst
         jax.ShapeDtypeStruct((B, 3, N_dst, O), jnp.float32),    # d_qn3
-        jax.ShapeDtypeStruct((C, 2 * O), jnp.float32),          # d_wl
+        jax.ShapeDtypeStruct((3 * C, 2 * O), jnp.float32),      # d_wl blocks
         jax.ShapeDtypeStruct((O, O), jnp.float32),              # d_dk
         jax.ShapeDtypeStruct((O, O), jnp.float32),              # d_dv
     )
     (
-        d_src3, d_ydst, d_qn3, d_wl_t, d_dk_t, d_dv_t
+        d_src_flat, d_ydst, d_qn3, d_wl3_t, d_dk_t, d_dv_t
     ) = pl.pallas_call(
         functools.partial(
             _attention_bwd_kernel,
@@ -836,7 +886,7 @@ def _attn_bwd_impl(
         grid=(B, N_dst // TN),
         in_specs=[
             pl.BlockSpec(
-                (1, 3, N_src, C), lambda b, t: (b, 0, 0, 0),
+                (1, N_src, 3 * C), lambda b, t: (b, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -867,7 +917,7 @@ def _attn_bwd_impl(
         ],
         out_specs=(
             pl.BlockSpec(
-                (1, 3, N_src, C), lambda b, t: (b, 0, 0, 0),
+                (1, N_src, 3 * C), lambda b, t: (b, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -879,7 +929,8 @@ def _attn_bwd_impl(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (C, 2 * O), lambda b, t: (0, 0), memory_space=pltpu.VMEM
+                (3 * C, 2 * O), lambda b, t: (0, 0),
+                memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
                 (O, O), lambda b, t: (0, 0), memory_space=pltpu.VMEM
@@ -891,7 +942,7 @@ def _attn_bwd_impl(
         out_shape=out_shapes,
         interpret=interpret,
     )(
-        src3.astype(jnp.float32),
+        src_flat.astype(jnp.float32),
         y_dst.astype(jnp.float32),
         qn3.astype(jnp.float32),
         idx.astype(jnp.int32),
@@ -900,12 +951,15 @@ def _attn_bwd_impl(
         jnp.transpose(D_V).astype(jnp.float32),
         g3.astype(jnp.float32),
     )
-    d_src_f = jnp.transpose(d_src3, (0, 2, 3, 1)).astype(src_f.dtype)
+    d_src_f = jnp.transpose(
+        d_src_flat.reshape(B, N_src, 3, C), (0, 1, 3, 2)
+    ).astype(src_f.dtype)
     d_dst_f = jnp.einsum("oc,bino->bnci", W_delta, d_ydst).astype(
         dst_f.dtype
     )
     d_q_n = jnp.transpose(d_qn3, (0, 2, 3, 1)).astype(q_n.dtype)
     d_W_delta = jnp.einsum("bino,bnci->oc", d_ydst, dst_f)  # (2O, C)
+    d_wl_t = d_wl3_t.reshape(3, C, 2 * O).sum(0)
     d_W_l = jnp.transpose(d_wl_t)  # (2O, C)
     d_W_K = jnp.concatenate(
         [d_W_l[:O] - d_W_delta[:O], d_W_delta[:O]], axis=1
