@@ -226,7 +226,16 @@ def main():
     pipeline, params, model, _ = build(mesh, optim=False)
     ref, rescan = make_scenes(rng, n_scenes)
 
-    dt, _ = measure(pipeline, params, (ref, rescan), n_rounds=5)
+    # Fall back to the XLA build if the Pallas build fails to compile on
+    # this runtime (kernels are validated in interpret mode on CPU; a
+    # Mosaic lowering regression should degrade the number, not zero it).
+    pallas_ok = True
+    try:
+        dt, _ = measure(pipeline, params, (ref, rescan), n_rounds=5)
+    except Exception:
+        pallas_ok = False
+        pipeline, params, model, _ = build(mesh, optim=False, pallas=False)
+        dt, _ = measure(pipeline, params, (ref, rescan), n_rounds=5)
     pairs_per_sec = n_scenes * 5 / dt
 
     # FLOPs of the same program without Pallas kernels (cost_analysis
@@ -250,7 +259,7 @@ def main():
                 RegistrationConfig,
             )
 
-            pipe_opt, _, _, opt_cfg = build(mesh, optim=True)
+            pipe_opt, _, _, opt_cfg = build(mesh, optim=True, pallas=pallas_ok)
             n_opt = N_SCENES_PER_DEV * n_dev  # 64 instance pairs per dev
             ref_o, rescan_o = ref[:n_opt], rescan[:n_opt]
             dt_o, _ = measure(pipe_opt, params, (ref_o, rescan_o), n_rounds=2)
@@ -292,7 +301,8 @@ def main():
             from livingscenes_tpu.solver.pipeline import extract_scene_meshes
 
             pipe_r, _, _, _ = build(
-                mesh, optim=False, recon=True, encode_fps=True
+                mesh, optim=False, recon=True, encode_fps=True,
+                pallas=pallas_ok,
             )
             n_r = 2 * n_dev
             ref_r, rescan_r = make_scenes(rng, n_r, n_pts=N_FULL)
@@ -348,6 +358,7 @@ def main():
         ),
         "vs_baseline": round(pairs_per_sec / REFERENCE_SCENE_PAIRS_PER_SEC, 2),
         "n_devices": n_dev,
+        "pallas": pallas_ok,
         "mfu": round(mfu, 4) if mfu else None,
         "tflops_per_pair": round(tflops_per_pair, 3) if tflops_per_pair else None,
         # production relocalization path at 64 instance pairs / device
