@@ -212,3 +212,29 @@ def test_pe_projector_converter_roundtrip():
         back["pe_projector"]["weight"],
         atol=0,
     )
+def test_committed_plateau_checkpoint_loads_and_encodes():
+    """The in-repo trained checkpoint (weights/plateau_r3_selected.ckpt,
+    the 30k-run selected params) must keep loading through the public
+    solver entry point and produce finite, sane codes — guards the
+    artifact against checkpoint-format or param-tree drift."""
+    import os
+
+    from livingscenes_tpu.eval.run_flyingshape import load_solver
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "weights",
+        "plateau_r3_selected.ckpt",
+    )
+    solver = load_solver(path, fast=False)
+    rng = np.random.default_rng(0)
+    pc = jnp.asarray(
+        rng.normal(size=(1, 512, 3)) * 0.3, jnp.float32
+    )
+    codes = solver.model.encode(solver.params, pc)
+    assert codes["z_inv"].shape == (1, 256)
+    assert codes["z_so3"].shape == (1, 256, 3)
+    for key in ("z_inv", "z_so3", "s", "t"):
+        assert bool(jnp.isfinite(codes[key]).all()), key
+    # trained (not random-init) weights: scale head calibrated near the
+    # cloud's actual size rather than the raw top-5-distance init
+    assert float(codes["s"][0]) > 0
