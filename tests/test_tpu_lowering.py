@@ -140,3 +140,90 @@ def test_sinkhorn_kernels_lower_for_tpu():
 
     _lower_tpu(ot_loss, x, y)
     _lower_tpu(jax.grad(ot_loss, argnums=(0, 1)), x, y)
+
+
+def test_headline_pipeline_lowers_for_tpu():
+    """The COMPLETE bench.py headline program (Pallas build: fused
+    attention/mean/layer0 encode + fused ICP + matching) lowers for TPU
+    devicelessly — the strongest pre-chip check the CPU suite can run."""
+    from livingscenes_tpu.models.shape_prior import ShapePrior, ShapePriorConfig
+    from livingscenes_tpu.solver.pipeline import (
+        PipelineConfig,
+        build_scene_pair_pipeline,
+    )
+    from livingscenes_tpu.solver.registration import RegistrationConfig
+
+    with jax.enable_x64(False):
+        model = ShapePrior(ShapePriorConfig(pallas_attention=True))
+        params = model.init_params(jax.random.PRNGKey(0))
+        pipeline = build_scene_pair_pipeline(
+            model,
+            PipelineConfig(
+                optim=False,
+                registration=RegistrationConfig(
+                    use_icp=True, icp_iterations=100, sinkhorn_pallas=True
+                ),
+            ),
+            mesh=None,
+        )
+        ref = f32(2, 8, 1024, 3)
+        res = f32(2, 8, 1024, 3)
+        pipeline.trace(params, ref, res).lower(lowering_platforms=("tpu",))
+
+
+def test_optim_pipeline_lowers_for_tpu():
+    """The optim=True relocalization program (fused OT kernels + refine
+    scan) at a short step count — same kernels as production n_steps=400."""
+    from livingscenes_tpu.models.shape_prior import ShapePrior, ShapePriorConfig
+    from livingscenes_tpu.solver.pipeline import (
+        PipelineConfig,
+        build_scene_pair_pipeline,
+    )
+    from livingscenes_tpu.solver.registration import RegistrationConfig
+
+    with jax.enable_x64(False):
+        model = ShapePrior(ShapePriorConfig(pallas_attention=True))
+        params = model.init_params(jax.random.PRNGKey(0))
+        pipeline = build_scene_pair_pipeline(
+            model,
+            PipelineConfig(
+                optim=True,
+                registration=RegistrationConfig(
+                    n_steps=3, lr_milestones=(2,), use_icp=True,
+                    icp_iterations=5, sinkhorn_pallas=True,
+                ),
+            ),
+            mesh=None,
+        )
+        ref = f32(1, 8, 1024, 3)
+        res = f32(1, 8, 1024, 3)
+        pipeline.trace(params, ref, res).lower(lowering_platforms=("tpu",))
+
+
+def test_train_step_lowers_for_tpu():
+    """The Pallas-build train step (custom-VJP backward kernels in their
+    real surrounding program)."""
+    from livingscenes_tpu.models.shape_prior import ShapePriorConfig
+    from livingscenes_tpu.models.sim3recon import SIM3Recon
+    from livingscenes_tpu.train.trainer import Trainer, TrainerConfig
+
+    with jax.enable_x64(False):
+        model = SIM3Recon(ShapePriorConfig(pallas_attention=True))
+        trainer = Trainer(
+            model,
+            TrainerConfig(batch_size=4, log_dir="/tmp/lstpu_lowering_test"),
+            mesh=None,
+        )
+        state = trainer.init_state()
+        batch = {
+            "inputs": f32(4, 1024, 3),
+            "points_uni": f32(4, 512, 3),
+            "points_uni_value": f32(4, 512),
+            "points_nss": f32(4, 512, 3),
+            "points_nss_value": f32(4, 512),
+        }
+        placed = trainer.place_batch(batch)
+        key = jax.random.PRNGKey(0)
+        trainer._train_step.trace(
+            state.params, state.opt_state, placed, key
+        ).lower(lowering_platforms=("tpu",))
