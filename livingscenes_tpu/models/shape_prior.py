@@ -237,8 +237,39 @@ class ShapePrior:
 
     def encode(self, params, pc: Array) -> Codes:
         """Encode point clouds (B, N, 3) into codes (model_utils.py:165-197)."""
-        normalized, centroid, scale0 = self.normalize_input(pc)
-        out = self.encoder.apply({"params": params["encoder"]}, normalized)
+        from ..nn.vec_dgcnn_attn import VecDGCNNAttn
+
+        N = pc.shape[1]
+        fused_front = (
+            self.config.pallas_attention
+            and not self.config.parity
+            and jax.devices()[0].platform == "tpu"
+            and pc.dtype == jnp.float32
+            and isinstance(self.encoder, VecDGCNNAttn)
+            and N % min(256, N) == 0
+        )
+        if fused_front:
+            # One distance pass serves both front-end consumers: the
+            # top-5 scale statistic AND the layer-0 kNN graph (neighbor
+            # order is invariant to the positive scale division) —
+            # ops/pallas_knn.knn_with_topk_scale.
+            from ..ops.pallas_knn import knn_with_topk_scale
+
+            centroid = jnp.mean(pc, axis=1)
+            centered = pc - centroid[:, None, :]
+            idx0, scale0 = knn_with_topk_scale(
+                jax.lax.stop_gradient(centered), self.config.num_knn
+            )
+            normalized = centered / scale0[:, None, None]
+            out = self.encoder.apply(
+                {"params": params["encoder"]}, normalized,
+                first_knn_idx=idx0,
+            )
+        else:
+            normalized, centroid, scale0 = self.normalize_input(pc)
+            out = self.encoder.apply(
+                {"params": params["encoder"]}, normalized
+            )
         if len(out) == 4:
             center_pred, pred_scale, z_so3, z_inv = out
             centroid = center_pred[:, 0, :] + centroid

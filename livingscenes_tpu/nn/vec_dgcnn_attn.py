@@ -143,8 +143,14 @@ class VecDGCNNAttn(nn.Module):
         return jnp.concatenate([crossed, nn_f - dst_pad, dst_pad], axis=-2)
 
     @nn.compact
-    def __call__(self, x: Array):
-        """x: (B, N, 3) centered (and pre-scaled) point cloud."""
+    def __call__(self, x: Array, first_knn_idx: Array | None = None):
+        """x: (B, N, 3) centered (and pre-scaled) point cloud.
+
+        first_knn_idx: optional precomputed (B, N, K) layer-0 graph. The
+        inference front end computes it fused with the top-5 scale
+        statistic (ops/pallas_knn.knn_with_topk_scale) — neighbor order
+        on the pre-scale cloud is identical (positive-scalar division
+        preserves argsort) — so layer 0 skips its own kNN build."""
         B, N, _ = x.shape
         act = _leaky_relu(self.leak_neg_slope)
         ds_layers = list(self.down_sample_layers)
@@ -171,9 +177,12 @@ class VecDGCNNAttn(nn.Module):
             else:
                 dst_xyz, dst_f = src_xyz, src_f
 
-            idx = self._knn_idx(
-                src_f, dst_f, self.num_knn, src_xyz, dst_xyz
-            )  # (B, N_dst, K)
+            if i == 0 and first_knn_idx is not None:
+                idx = first_knn_idx
+            else:
+                idx = self._knn_idx(
+                    src_f, dst_f, self.num_knn, src_xyz, dst_xyz
+                )  # (B, N_dst, K)
 
             on_tpu = jax.devices()[0].platform == "tpu"
             use_pallas_attn = self.pallas_attention and i >= 1 and on_tpu

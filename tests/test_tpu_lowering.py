@@ -11,7 +11,10 @@ back to the XLA build if that ever fails.)
 Shapes are production-representative but small where the lowering is
 shape-generic (trace time, not coverage, is the limit).
 """
+import contextlib
 import sys
+import types
+from unittest import mock
 
 import jax
 import jax.numpy as jnp
@@ -34,6 +37,20 @@ def _lower_tpu(fn, *args):
 
 rng = np.random.default_rng(0)
 f32 = lambda *s: jnp.asarray(rng.normal(size=s), jnp.float32)
+
+
+@contextlib.contextmanager
+def _fake_tpu_platform():
+    """Make the library's `jax.devices()[0].platform == "tpu"` gates
+    take the TPU branch during TRACING (lowering needs no device).
+    Without this, the full-program tests silently lower the XLA
+    fallback builds instead of the kernels the chip will run — the
+    un-mocked first version of these tests missed two real Mosaic
+    constraint violations that way. Params must be initialized OUTSIDE
+    the mock (init executes eagerly on the CPU backend)."""
+    fake = [types.SimpleNamespace(platform="tpu")]
+    with mock.patch.object(jax, "devices", lambda *a, **k: fake):
+        yield
 
 
 def test_fused_edge_mean_lowers_for_tpu():
@@ -156,19 +173,23 @@ def test_headline_pipeline_lowers_for_tpu():
     with jax.enable_x64(False):
         model = ShapePrior(ShapePriorConfig(pallas_attention=True))
         params = model.init_params(jax.random.PRNGKey(0))
-        pipeline = build_scene_pair_pipeline(
-            model,
-            PipelineConfig(
-                optim=False,
-                registration=RegistrationConfig(
-                    use_icp=True, icp_iterations=100, sinkhorn_pallas=True
+        with _fake_tpu_platform():
+            pipeline = build_scene_pair_pipeline(
+                model,
+                PipelineConfig(
+                    optim=False,
+                    registration=RegistrationConfig(
+                        use_icp=True, icp_iterations=100,
+                        sinkhorn_pallas=True,
+                    ),
                 ),
-            ),
-            mesh=None,
-        )
-        ref = f32(2, 8, 1024, 3)
-        res = f32(2, 8, 1024, 3)
-        pipeline.trace(params, ref, res).lower(lowering_platforms=("tpu",))
+                mesh=None,
+            )
+            ref = f32(2, 8, 1024, 3)
+            res = f32(2, 8, 1024, 3)
+            pipeline.trace(params, ref, res).lower(
+                lowering_platforms=("tpu",)
+            )
 
 
 def test_optim_pipeline_lowers_for_tpu():
@@ -184,20 +205,23 @@ def test_optim_pipeline_lowers_for_tpu():
     with jax.enable_x64(False):
         model = ShapePrior(ShapePriorConfig(pallas_attention=True))
         params = model.init_params(jax.random.PRNGKey(0))
-        pipeline = build_scene_pair_pipeline(
-            model,
-            PipelineConfig(
-                optim=True,
-                registration=RegistrationConfig(
-                    n_steps=3, lr_milestones=(2,), use_icp=True,
-                    icp_iterations=5, sinkhorn_pallas=True,
+        with _fake_tpu_platform():
+            pipeline = build_scene_pair_pipeline(
+                model,
+                PipelineConfig(
+                    optim=True,
+                    registration=RegistrationConfig(
+                        n_steps=3, lr_milestones=(2,), use_icp=True,
+                        icp_iterations=5, sinkhorn_pallas=True,
+                    ),
                 ),
-            ),
-            mesh=None,
-        )
-        ref = f32(1, 8, 1024, 3)
-        res = f32(1, 8, 1024, 3)
-        pipeline.trace(params, ref, res).lower(lowering_platforms=("tpu",))
+                mesh=None,
+            )
+            ref = f32(1, 8, 1024, 3)
+            res = f32(1, 8, 1024, 3)
+            pipeline.trace(params, ref, res).lower(
+                lowering_platforms=("tpu",)
+            )
 
 
 def test_train_step_lowers_for_tpu():
@@ -224,6 +248,14 @@ def test_train_step_lowers_for_tpu():
         }
         placed = trainer.place_batch(batch)
         key = jax.random.PRNGKey(0)
-        trainer._train_step.trace(
-            state.params, state.opt_state, placed, key
-        ).lower(lowering_platforms=("tpu",))
+        with _fake_tpu_platform():
+            trainer._train_step.trace(
+                state.params, state.opt_state, placed, key
+            ).lower(lowering_platforms=("tpu",))
+
+
+def test_knn_topk_scale_kernel_lowers_for_tpu():
+    from livingscenes_tpu.ops.pallas_knn import knn_with_topk_scale
+
+    pts = f32(2, 1024, 3)
+    _lower_tpu(lambda p: knn_with_topk_scale(p, 16), pts)
