@@ -116,6 +116,13 @@ def iterative_closest_point(
 
     interp = jax.devices()[0].platform != "tpu"
     src_mean = jnp.mean(src, axis=1)  # (B, 3); constant across the scan
+    if fused_stats:
+        # Pre-transposed target for the kernel's VPU nn-accumulation
+        # (ops/pallas_icp.py module docstring). The target never
+        # changes, so this is computed once, outside the scan.
+        from .pallas_icp import transpose_targets
+
+        tgt_t = transpose_targets(tgt)
 
     def step(carry, _):
         R, t, prev_rmse, frozen, q = carry
@@ -129,6 +136,7 @@ def iterative_closest_point(
             S, nn_sum, dmin_sum = icp_iteration_stats(
                 x, src, tgt,
                 active=jnp.logical_not(frozen),
+                tgt_t=tgt_t,
                 interpret=interp,
             )
             S = S.astype(dtype)

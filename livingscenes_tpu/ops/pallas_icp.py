@@ -42,6 +42,16 @@ Nearest-neighbor ties are averaged (the min-mask is normalized by its
 row sum) instead of argmin-first; for float point clouds ties have
 measure zero. The tie count rides the nn matmul as a ones-column
 (mask @ [tgt | 1]), so no separate row-sum pass runs.
+
+nn accumulation (`vpu_acc`): `mask @ [tgt | 1]` is a K=M contraction
+feeding only 4 of the MXU's 128 output lanes — at M=1024 it costs ~8
+full-K tile passes per pair per iteration for 3% lane utilization,
+and it is the dominant term of the kernel's cost model. With
+`vpu_acc=True` (default) the caller passes the target pre-transposed
+([tgt^T; 1; 0-pad] as an (8, M) block, computed ONCE outside the ICP
+scan since the target never changes) and the kernel accumulates the
+four rows as VPU lane-reductions of `mask * tgt_t[k]` instead. The
+matmul path is kept (`vpu_acc=False`) for A/B measurement.
 """
 from __future__ import annotations
 
@@ -56,9 +66,13 @@ Array = jax.Array
 
 
 def _icp_stats_kernel(
-    active_ref, x_ref, src_ref, tgt_ref, out_ref, *, n: int, m: int,
-    precision,
+    active_ref, x_ref, src_ref, tgt_ref, *rest, n: int, m: int,
+    precision, vpu_acc: bool,
 ):
+    if vpu_acc:
+        tgt_t_ref, out_ref = rest
+    else:
+        (out_ref,) = rest
     b = pl.program_id(0)
 
     @pl.when(active_ref[b] != 0)
@@ -87,17 +101,32 @@ def _icp_stats_kernel(
 
         dmin = jnp.min(d, axis=-1, keepdims=True)  # (N, 1)
         mask = (d <= dmin).astype(jnp.float32)  # ties included
-        # nn accumulation and the tie count in ONE matmul:
-        # mask @ [tgt | 1] -> (sum of tied targets | #ties) per row;
-        # normalized after (mask entries are exactly 0/1 in bf16).
-        t_ones = jnp.concatenate(
-            [tgt, jnp.ones((m, 1), jnp.float32)], axis=1
-        )  # (M, 4)
-        acc = jnp.dot(
-            mask, t_ones,
-            preferred_element_type=jnp.float32,
-            precision=precision,
-        )
+        if vpu_acc:
+            # nn accumulation as four VPU lane-reductions against the
+            # pre-transposed target (module docstring): the matmul
+            # alternative wastes 124/128 MXU output lanes at K=M.
+            t_t = tgt_t_ref[0]  # (8, M): rows x, y, z, ones, 0-pad
+            acc = jnp.concatenate(
+                [
+                    jnp.sum(mask * t_t[k : k + 1, :], axis=1,
+                            keepdims=True)
+                    for k in range(4)
+                ],
+                axis=1,
+            )  # (N, 4)
+        else:
+            # nn accumulation and the tie count in ONE matmul:
+            # mask @ [tgt | 1] -> (sum of tied targets | #ties) per
+            # row; normalized after (mask entries are exactly 0/1 in
+            # bf16).
+            t_ones = jnp.concatenate(
+                [tgt, jnp.ones((m, 1), jnp.float32)], axis=1
+            )  # (M, 4)
+            acc = jnp.dot(
+                mask, t_ones,
+                preferred_element_type=jnp.float32,
+                precision=precision,
+            )
         inv = 1.0 / acc[:, 3:4]
         nn_w = acc[:, :3] * inv  # (N, 3) tie-averaged nearest targets
 
@@ -120,6 +149,17 @@ def _icp_stats_kernel(
         )
 
 
+def transpose_targets(tgt: Array) -> Array:
+    """Pre-transposed target block for `vpu_acc`: (B, 8, M) with rows
+    [x, y, z, ones, 0-pad]. The target is constant across ICP
+    iterations, so callers compute this ONCE outside the scan."""
+    B, M, _ = tgt.shape
+    t = jnp.swapaxes(tgt.astype(jnp.float32), -1, -2)  # (B, 3, M)
+    ones = jnp.ones((B, 1, M), jnp.float32)
+    pad = jnp.zeros((B, 4, M), jnp.float32)
+    return jnp.concatenate([t, ones, pad], axis=1)
+
+
 @functools.partial(
     jax.jit, static_argnames=("interpret", "exact")
 )
@@ -128,6 +168,7 @@ def icp_iteration_stats(
     src: Array,
     tgt: Array,
     active: Array | None = None,
+    tgt_t: Array | None = None,
     interpret: bool = False,
     exact: bool = False,
 ):
@@ -139,6 +180,9 @@ def icp_iteration_stats(
       tgt: (B, M, 3) target cloud.
       active: optional (B,) int32/bool; pairs with 0 skip the body
         entirely (their outputs are garbage — mask them downstream).
+      tgt_t: optional `transpose_targets(tgt)`; when given, nn
+        accumulation runs as VPU lane-reductions instead of the
+        4-lane-wide MXU matmul (module docstring).
       exact: force f32 matmul inputs (Precision.HIGHEST). ~2.65x slower
         at the production operating point; see module docstring.
 
@@ -151,23 +195,38 @@ def icp_iteration_stats(
     precision = (
         jax.lax.Precision.HIGHEST if exact else jax.lax.Precision.DEFAULT
     )
+    vpu_acc = tgt_t is not None
+    in_specs = [
+        pl.BlockSpec((1, N, 3), lambda b, *_: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, N, 3), lambda b, *_: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, M, 3), lambda b, *_: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    inputs = [
+        active.astype(jnp.int32),
+        x.astype(jnp.float32),
+        src.astype(jnp.float32),
+        tgt.astype(jnp.float32),
+    ]
+    if vpu_acc:
+        in_specs.append(
+            pl.BlockSpec((1, 8, M), lambda b, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        inputs.append(tgt_t)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B,),
-        in_specs=[
-            pl.BlockSpec((1, N, 3), lambda b, *_: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N, 3), lambda b, *_: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, M, 3), lambda b, *_: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 8, 128), lambda b, *_: (b, 0, 0),
                                memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
         functools.partial(
-            _icp_stats_kernel, n=N, m=M, precision=precision
+            _icp_stats_kernel, n=N, m=M, precision=precision,
+            vpu_acc=vpu_acc,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, 8, 128), jnp.float32),
@@ -175,12 +234,7 @@ def icp_iteration_stats(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024
         ),
-    )(
-        active.astype(jnp.int32),
-        x.astype(jnp.float32),
-        src.astype(jnp.float32),
-        tgt.astype(jnp.float32),
-    )
+    )(*inputs)
     S = out[:, :3, :3]
     nn_sum = out[:, 3, :3]
     dmin_sum = out[:, 4, 0]

@@ -37,6 +37,27 @@ def test_stats_match_xla():
     )
 
 
+def test_vpu_acc_matches_matmul_acc():
+    """The VPU lane-reduction nn accumulation (tgt_t path) returns the
+    same statistics as the matmul path."""
+    from livingscenes_tpu.ops.pallas_icp import transpose_targets
+
+    rng = np.random.default_rng(7)
+    B, N, M = 3, 128, 160
+    x = jnp.asarray(rng.normal(size=(B, N, 3)), jnp.float32)
+    src = jnp.asarray(rng.normal(size=(B, N, 3)), jnp.float32)
+    tgt = jnp.asarray(rng.normal(size=(B, M, 3)), jnp.float32)
+
+    mm = icp_iteration_stats(x, src, tgt, interpret=True)
+    vpu = icp_iteration_stats(
+        x, src, tgt, tgt_t=transpose_targets(tgt), interpret=True
+    )
+    for u, v in zip(mm, vpu):
+        np.testing.assert_allclose(
+            np.asarray(u), np.asarray(v), rtol=1e-5, atol=1e-5
+        )
+
+
 def test_fused_icp_recovers_pose_and_matches_xla():
     rng = np.random.default_rng(1)
     B, N = 2, 256
