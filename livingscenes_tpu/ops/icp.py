@@ -116,13 +116,14 @@ def iterative_closest_point(
 
     interp = jax.devices()[0].platform != "tpu"
     src_mean = jnp.mean(src, axis=1)  # (B, 3); constant across the scan
-    if fused_stats:
-        # Pre-transposed target for the kernel's VPU nn-accumulation
-        # (ops/pallas_icp.py module docstring). The target never
-        # changes, so this is computed once, outside the scan.
-        from .pallas_icp import transpose_targets
-
-        tgt_t = transpose_targets(tgt)
+    # A VPU lane-reduction nn-accumulation variant (pass
+    # pallas_icp.transpose_targets(tgt) as tgt_t below) was measured
+    # SLOWER than the kernel's 4-lane MXU matmul at the production
+    # operating point (30.9 vs 27.0 ms per freeze-disabled 100-iteration
+    # solve, B=64 — scripts/measure_icp.py --no-freeze): the K=M matmul
+    # pipelines behind the distance matmul better than four extra
+    # (N, M) VPU passes. Kept for A/B; matmul is the shipped default.
+    tgt_t = None
 
     def step(carry, _):
         R, t, prev_rmse, frozen, q = carry

@@ -43,15 +43,16 @@ row sum) instead of argmin-first; for float point clouds ties have
 measure zero. The tie count rides the nn matmul as a ones-column
 (mask @ [tgt | 1]), so no separate row-sum pass runs.
 
-nn accumulation (`vpu_acc`): `mask @ [tgt | 1]` is a K=M contraction
-feeding only 4 of the MXU's 128 output lanes — at M=1024 it costs ~8
-full-K tile passes per pair per iteration for 3% lane utilization,
-and it is the dominant term of the kernel's cost model. With
-`vpu_acc=True` (default) the caller passes the target pre-transposed
-([tgt^T; 1; 0-pad] as an (8, M) block, computed ONCE outside the ICP
-scan since the target never changes) and the kernel accumulates the
-four rows as VPU lane-reductions of `mask * tgt_t[k]` instead. The
-matmul path is kept (`vpu_acc=False`) for A/B measurement.
+nn accumulation (`vpu_acc`, measured-and-reverted): `mask @ [tgt | 1]`
+is a K=M contraction feeding only 4 of the MXU's 128 output lanes, so a
+variant was built that passes the target pre-transposed ([tgt^T; 1] as
+an (8, M) block, computed once outside the ICP scan) and accumulates
+the four rows as VPU lane-reductions of `mask * tgt_t[k]`. On chip it
+measures SLOWER (30.9 vs 27.0 ms per freeze-disabled 100-iteration
+B=64 solve, scripts/measure_icp.py --no-freeze): the lane-starved
+matmul still pipelines behind the distance matmul better than four
+extra (N, M) VPU passes do. The matmul path is the shipped default
+(`tgt_t=None`); the variant is kept for A/B.
 """
 from __future__ import annotations
 

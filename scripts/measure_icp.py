@@ -38,6 +38,9 @@ def main():
     ap.add_argument("--xla", action="store_true")
     ap.add_argument("--matmul-acc", action="store_true",
                     help="fused kernel with the MXU nn-accumulation")
+    ap.add_argument("--no-freeze", action="store_true",
+                    help="disable the convergence freeze so every pair "
+                    "runs all iterations (isolates per-iteration cost)")
     args = ap.parse_args()
 
     from livingscenes_tpu.ops import icp as icp_mod
@@ -76,7 +79,8 @@ def main():
         # Jitter the source per rep so XLA cannot CSE the reps.
         s = src + 1e-4 * jax.random.normal(key, src.shape, src.dtype)
         res = iterative_closest_point(
-            s, tgt, max_iterations=args.iters, fused_stats=fused
+            s, tgt, max_iterations=args.iters, fused_stats=fused,
+            relative_rmse_thr=0.0 if args.no_freeze else 1e-6,
         )
         return res.R.sum() + res.t.sum()
 
