@@ -120,7 +120,14 @@ def simplify_mesh(
     target_faces: int,
     aggressiveness: float = 5.0,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Quadric edge-collapse simplification to ~target_faces."""
+    """Quadric edge-collapse simplification to ~target_faces.
+
+    aggressiveness follows the reference Fast-Quadric knob's direction
+    (higher = more eager bulk collapsing): it sets where the cheap
+    quantile-threshold sweeps hand over to the exact greedy heap, at
+    (1 + 15/aggressiveness) x target_faces. The default 5.0 is the
+    measured-optimal 4x handover; lower values trade speed for the
+    order-exact heap's quality on more of the reduction."""
     lib = get_lib()
     v = np.ascontiguousarray(verts, np.float32)
     f = np.ascontiguousarray(faces, np.int64)

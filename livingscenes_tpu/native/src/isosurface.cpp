@@ -140,17 +140,22 @@ static void DoTet(ExtractState& st, const uint64_t gi[4], const V3 p[4],
   };
 
   // Single corner inside -> one triangle; orientation chosen so the face
-  // normal points away from the inside corner.
+  // normal points away from the inside corner (toward lower values),
+  // matching the quad cases below. (A winding bug here — these 8 cases
+  // originally wound opposite to the 6 quad cases — made the output
+  // non-orientable: ~26% of directed half-edges duplicated on a sphere.
+  // Verified by hand on Kuhn tet {0,1,3,7}: with only corner 0 inside,
+  // (v01, v02, v03) has normal +x, away from corner 0.)
   switch (mask) {
-    case 1: EmitTri(st, vtx(0, 1), vtx(0, 3), vtx(0, 2)); break;
-    case 2: EmitTri(st, vtx(1, 0), vtx(1, 2), vtx(1, 3)); break;
-    case 4: EmitTri(st, vtx(2, 0), vtx(2, 3), vtx(2, 1)); break;
-    case 8: EmitTri(st, vtx(3, 0), vtx(3, 1), vtx(3, 2)); break;
+    case 1: EmitTri(st, vtx(0, 1), vtx(0, 2), vtx(0, 3)); break;
+    case 2: EmitTri(st, vtx(1, 0), vtx(1, 3), vtx(1, 2)); break;
+    case 4: EmitTri(st, vtx(2, 0), vtx(2, 1), vtx(2, 3)); break;
+    case 8: EmitTri(st, vtx(3, 0), vtx(3, 2), vtx(3, 1)); break;
     // Single corner outside -> one triangle, opposite orientation.
-    case 14: EmitTri(st, vtx(0, 1), vtx(0, 2), vtx(0, 3)); break;
-    case 13: EmitTri(st, vtx(1, 0), vtx(1, 3), vtx(1, 2)); break;
-    case 11: EmitTri(st, vtx(2, 0), vtx(2, 1), vtx(2, 3)); break;
-    case 7:  EmitTri(st, vtx(3, 0), vtx(3, 2), vtx(3, 1)); break;
+    case 14: EmitTri(st, vtx(0, 1), vtx(0, 3), vtx(0, 2)); break;
+    case 13: EmitTri(st, vtx(1, 0), vtx(1, 2), vtx(1, 3)); break;
+    case 11: EmitTri(st, vtx(2, 0), vtx(2, 3), vtx(2, 1)); break;
+    case 7:  EmitTri(st, vtx(3, 0), vtx(3, 1), vtx(3, 2)); break;
     // Two inside / two outside -> quad (two triangles).
     case 3: {  // 0,1 inside
       int64_t a = vtx(0, 2), b = vtx(0, 3), c = vtx(1, 3), d = vtx(1, 2);

@@ -165,21 +165,7 @@ struct Simplifier {
   }
 
   void PushCandidate(int64_t a, int64_t b, bool heapify = true) {
-    Quadric q = quadric[a];
-    q.Add(quadric[b]);
-    double x, y, z;
-    double cost;
-    if (q.Optimal(x, y, z)) {
-      cost = q.Eval(x, y, z);
-    } else {
-      // Fallback: best of endpoints and midpoint.
-      const Vec3 mid{(pos[a].x + pos[b].x) / 2, (pos[a].y + pos[b].y) / 2,
-                     (pos[a].z + pos[b].z) / 2};
-      double c0 = q.Eval(pos[a].x, pos[a].y, pos[a].z);
-      double c1 = q.Eval(pos[b].x, pos[b].y, pos[b].z);
-      double cm = q.Eval(mid.x, mid.y, mid.z);
-      cost = std::min({c0, c1, cm});
-    }
+    const double cost = EdgeCost(a, b);  // ONE cost model for heap+collapse
     const uint64_t stamp = version[a] + version[b];
     latest_stamp[PairKey(a, b)] = stamp;
     heap.push_back({cost, a, b, stamp});
@@ -335,7 +321,7 @@ struct Simplifier {
     return false;
   }
 
-  void Run(int64_t target_faces, double /*aggressiveness*/) {
+  void Run(int64_t target_faces, double aggressiveness) {
     // Phase 1: threshold sweeps down to ~4x the target (linear scans,
     // no heap). Phase 2: exact greedy lazy-heap for the order-sensitive
     // tail. Lazy heap maintenance: collapses do NOT re-push incident
@@ -345,7 +331,16 @@ struct Simplifier {
     // through the union-find on pop; a stale entry (version stamp
     // mismatch) is re-costed and re-pushed once, only when it actually
     // surfaces; outdated duplicates are dropped via latest_stamp.
-    ThresholdPrePass(std::max<int64_t>(4 * target_faces, 1024));
+    // `aggressiveness` (same direction as Fast-Quadric's knob: higher =
+    // more eager bulk collapsing) sets where the cheap threshold sweeps
+    // hand over to the exact heap: stop at (1 + 15/agg) x target faces.
+    // The default 5.0 gives the measured-optimal 4x handover; smaller
+    // values leave more work to the order-exact heap (higher quality,
+    // slower), larger values collapse nearly everything in bulk.
+    const double agg = std::max(aggressiveness, 1e-3);
+    const double mult = 1.0 + 15.0 / agg;
+    ThresholdPrePass(std::max<int64_t>(
+        static_cast<int64_t>(mult * (double)target_faces), 1024));
     SeedHeap();
     int64_t budget = 100 * (int64_t)faces.size() + (1 << 20);
     while (alive_count > target_faces && !heap.empty() && budget-- > 0) {

@@ -263,6 +263,8 @@ def _l0_fwd_impl(xyz, idx, W, D, neg_slope, interpret, tile):
     K = idx.shape[-1]
     O = W.shape[0]
     TN = tile or _l0_tile(N, N, K, O, 1)
+    if N % TN:  # grid (B, N // TN) would silently drop the tail rows
+        raise ValueError(f"tile {TN} must divide the point count {N}")
     out3 = pl.pallas_call(
         functools.partial(
             _layer0_kernel, n_src=N, c_out=O, k=K, neg_slope=neg_slope
@@ -293,6 +295,8 @@ def _l0_bwd_impl(xyz, idx, W, D, g, neg_slope, interpret, tile):
     K = idx.shape[-1]
     O = W.shape[0]
     TN = tile or _l0_tile(N, N, K, O, 2)
+    if N % TN:  # grid (B, N // TN) would silently drop the tail rows
+        raise ValueError(f"tile {TN} must divide the point count {N}")
     g3 = jnp.transpose(g, (0, 3, 1, 2))
     d_src, d_dst, d_w_t, d_d_t = pl.pallas_call(
         functools.partial(

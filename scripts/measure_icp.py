@@ -7,9 +7,12 @@ tunnel's ~10 ms dispatch floor. This is the harness behind the
 docs/ROOFLINE.md ICP table.
 
 Usage:
-    python scripts/measure_icp.py              # fused kernel, VPU acc
-    python scripts/measure_icp.py --matmul-acc # fused kernel, MXU acc
+    python scripts/measure_icp.py              # fused kernel (shipped: MXU acc)
+    python scripts/measure_icp.py --vpu-acc    # fused kernel, VPU nn-acc variant
     python scripts/measure_icp.py --xla        # XLA distance-matrix path
+    add --no-freeze to disable the convergence freeze (isolates
+    per-iteration kernel cost; with the freeze, converging solves skip
+    most iteration bodies and all variants measure alike).
 """
 from __future__ import annotations
 
@@ -36,8 +39,10 @@ def main():
     ap.add_argument("--iters", type=int, default=100)
     ap.add_argument("--reps", type=int, default=10)
     ap.add_argument("--xla", action="store_true")
-    ap.add_argument("--matmul-acc", action="store_true",
-                    help="fused kernel with the MXU nn-accumulation")
+    ap.add_argument("--vpu-acc", action="store_true",
+                    help="fused kernel with the VPU lane-reduction "
+                    "nn-accumulation (measured-and-reverted variant; "
+                    "the shipped default is the MXU matmul)")
     ap.add_argument("--no-freeze", action="store_true",
                     help="disable the convergence freeze so every pair "
                     "runs all iterations (isolates per-iteration cost)")
@@ -46,19 +51,21 @@ def main():
     from livingscenes_tpu.ops import icp as icp_mod
     from livingscenes_tpu.ops.icp import iterative_closest_point
 
-    if args.matmul_acc:
-        # Disable the tgt_t path by monkey-patching the constant
-        # builder to None-like behavior is intrusive; instead call the
-        # kernel path with tgt_t suppressed via a shim.
+    if args.vpu_acc:
+        # The solve ships tgt_t=None (MXU accumulation). Force the VPU
+        # variant by shimming the kernel entry to build and pass the
+        # pre-transposed target.
         import livingscenes_tpu.ops.pallas_icp as pk
 
         orig = pk.icp_iteration_stats
 
-        def no_tt(x, src, tgt, active=None, tgt_t=None, **kw):
-            return orig(x, src, tgt, active=active, tgt_t=None, **kw)
+        def with_tt(x, src, tgt, active=None, tgt_t=None, **kw):
+            # XLA hoists this loop-invariant transpose out of the scan.
+            tt = pk.transpose_targets(tgt)
+            return orig(x, src, tgt, active=active, tgt_t=tt, **kw)
 
-        icp_mod.__dict__["icp_iteration_stats"] = no_tt
-        pk.icp_iteration_stats = no_tt
+        # ops/icp.py resolves the kernel from pallas_icp at call time.
+        pk.icp_iteration_stats = with_tt
 
     rng = np.random.default_rng(0)
     B, N = args.batch, args.npts
@@ -100,7 +107,7 @@ def main():
     loop(keys).block_until_ready()
     dt = time.time() - t0
     mode = "xla" if args.xla else (
-        "fused+mxu-acc" if args.matmul_acc else "fused+vpu-acc"
+        "fused+vpu-acc" if args.vpu_acc else "fused+mxu-acc"
     )
     print(
         f"ICP [{mode}] B={B} N={N} {args.iters} iters: "

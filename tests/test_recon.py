@@ -174,7 +174,14 @@ def test_isosurface_watertight_at_word_boundary_sizes():
     into 64-bit words along z; an off-by-one at a word boundary would
     silently skip a cell column and open holes. A sphere surface away
     from the grid boundary must be closed: every undirected edge shared
-    by exactly two faces, and Euler characteristic V - E + F == 2."""
+    by exactly two faces, and Euler characteristic V - E + F == 2.
+
+    The mesh must also be consistently ORIENTED: every directed
+    half-edge appears exactly once (its twin runs the other way) and
+    every face normal points toward lower field values — outward for
+    this inside-positive sphere. (Regression: the 8 single-corner
+    marching-tet cases originally wound opposite to the 6 quad cases,
+    yielding a non-orientable soup with ~26% duplicated half-edges.)"""
     import numpy as np
 
     from livingscenes_tpu.native.bindings import marching_isosurface
@@ -188,8 +195,16 @@ def test_isosurface_watertight_at_word_boundary_sizes():
         edges = np.concatenate(
             [f[:, [0, 1]], f[:, [1, 2]], f[:, [2, 0]]], axis=0
         )
-        edges = np.sort(edges, axis=1)
-        _, counts = np.unique(edges, axis=0, return_counts=True)
+        sorted_edges = np.sort(edges, axis=1)
+        _, counts = np.unique(sorted_edges, axis=0, return_counts=True)
         assert (counts == 2).all(), (res, np.bincount(counts))
         n_edges = counts.shape[0]
         assert len(v) - n_edges + len(f) == 2, res
+        # Orientation: no directed half-edge repeats...
+        _, dcounts = np.unique(edges, axis=0, return_counts=True)
+        assert (dcounts == 1).all(), (res, np.bincount(dcounts))
+        # ...and every normal points away from the sphere center.
+        tri = v[f]
+        nrm = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+        outward = tri.mean(1) - (res - 1) / 2.0
+        assert (np.einsum("ij,ij->i", nrm, outward) > 0).all(), res
