@@ -35,7 +35,42 @@ def main():
     ap.add_argument("--reps", type=int, default=20)
     ap.add_argument("--xla", action="store_true", help="non-Pallas build")
     ap.add_argument("--train", action="store_true", help="fwd+bwd train loss")
+    ap.add_argument(
+        "--fps",
+        action="store_true",
+        help="time the FPS kernel alone (use --tile to sweep batch tiles)",
+    )
+    ap.add_argument("--tile", type=int, default=0, help="FPS batch tile")
+    ap.add_argument("--k", type=int, default=512, help="FPS sample count")
     args = ap.parse_args()
+
+    if args.fps:
+        from livingscenes_tpu.ops.pallas_fps import fps_pallas
+
+        key = jax.random.PRNGKey(1)
+        pc = jax.random.normal(
+            key, (args.batch, args.npts, 3), jnp.float32
+        )
+        tile = args.tile or 32
+
+        def body(c, _):
+            _, idx = fps_pallas(pc + c * 1e-9, args.k, batch_tile=tile)
+            return c + jnp.float32(jnp.sum(idx)), None
+
+        fn = jax.jit(
+            lambda: jax.lax.scan(body, jnp.float32(0), None, args.reps)[0]
+        )
+        t0 = time.perf_counter()
+        float(fn())
+        print(f"compile+first: {time.perf_counter() - t0:.1f} s")
+        t0 = time.perf_counter()
+        float(fn())
+        dt = time.perf_counter() - t0
+        print(
+            f"fps tile={tile} {args.batch}x{args.npts}->{args.k}: "
+            f"{dt / args.reps * 1e3:.2f} ms/call"
+        )
+        return
 
     from livingscenes_tpu.models.shape_prior import (
         ShapePrior,
