@@ -107,9 +107,16 @@ def fps_pallas(
     return sampled, idx
 
 
-def fps_auto(points: Array, k: int, mask: Array | None = None):
+def fps_auto(
+    points: Array,
+    k: int,
+    mask: Array | None = None,
+    batch_tile: int | None = None,
+):
     """Pallas FPS on TPU (padding the batch to a tile multiple), XLA loop
     fallback elsewhere."""
+    import os
+
     from .fps import farthest_point_sampling
 
     platform = jax.devices()[0].platform
@@ -117,8 +124,13 @@ def fps_auto(points: Array, k: int, mask: Array | None = None):
         return farthest_point_sampling(points, k, mask=mask)
     B, N, _ = points.shape
     # Bigger batch tiles amortize the kernel's per-iteration loop overhead
-    # (selection steps are sequential; per-step work scales with TB).
-    tile = 32 if B >= 32 else (8 if B >= 8 else B)
+    # (selection steps are sequential; per-step work scales with TB, and
+    # grid programs serialize on the core, so fewer/fatter programs win
+    # until the per-round VPU work leaves the latency shadow).
+    # LSTPU_FPS_TILE overrides for on-chip sweeps (scripts/measure_encode.py).
+    tile = batch_tile or int(os.environ.get("LSTPU_FPS_TILE", "0"))
+    if not tile:
+        tile = 32 if B >= 32 else (8 if B >= 8 else B)
     pad = (-B) % tile
     if pad:
         pts = jnp.concatenate(

@@ -148,3 +148,15 @@ def test_pallas_fps_interpret_matches_xla(rng):
     mask = jnp.ones((8, 64), bool).at[:, 48:].set(False)
     _, mi = fps_pallas(pts, 8, mask, interpret=True)
     assert int(np.asarray(mi).max()) < 48
+
+
+def test_pallas_fps_batch_tile_invariant(rng):
+    """Selection is per-batch-row, so the batch tile (a pure scheduling
+    knob, swept on-chip via LSTPU_FPS_TILE) must not change results."""
+    from livingscenes_tpu.ops.pallas_fps import fps_pallas
+
+    pts = jnp.asarray(rng.normal(size=(16, 128, 3)), jnp.float32)
+    _, i_ref = farthest_point_sampling(pts, 32)
+    for tile in (8, 16):
+        _, i_pl = fps_pallas(pts, 32, batch_tile=tile, interpret=True)
+        np.testing.assert_array_equal(np.asarray(i_pl), np.asarray(i_ref))
