@@ -48,7 +48,11 @@ def optimize_codes(
     Returns the best-loss codes per instance.
     """
     B = pc.shape[0]
-    dtype = pc.dtype
+    # best_loss must carry the loss's dtype: when params/codes are wider
+    # than the point cloud (e.g. f64 parity runs on f32 fixture data),
+    # the per-item loss promotes past pc.dtype and the scan carry would
+    # otherwise mismatch.
+    dtype = jnp.result_type(pc.dtype, codes["z_inv"].dtype)
 
     opt_vars = {
         "z_inv": codes["z_inv"],
