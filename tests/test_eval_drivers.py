@@ -303,3 +303,51 @@ def test_ply_roundtrip(tmp_path):
     v, f = load_ply(str(tmp_path / "box.ply"))
     np.testing.assert_allclose(v, m.vertices, atol=1e-6)
     np.testing.assert_array_equal(f, m.faces)
+
+
+def test_parity_runbook_smoke(rescan_dir, solver, tmp_path):
+    """The --parity runbook machinery (eval/run_3rscan.py): checkpoint
+    conversion verification + all three eval loops + the reference-format
+    table — smoke-tested end to end on the synthetic 3RScan fixture with
+    a torch checkpoint round-tripped from the tiny solver's own params
+    (VERDICT r3 ask #8). On the real released weights the same code path
+    is: python -m livingscenes_tpu.eval.run_3rscan --parity <ckpt.pt>
+    --data <root>."""
+    import torch
+
+    from livingscenes_tpu.eval.rescan3r import (
+        eval_reconstruction as rs_eval_reconstruction,
+        eval_relocalization as rs_eval_relocalization,
+    )
+    from livingscenes_tpu.eval.run_3rscan import (
+        parity_table,
+        verify_conversion,
+    )
+    from livingscenes_tpu.models.convert import params_to_torch_state_dict
+
+    # 1. A torch checkpoint in the reference's training layout, written
+    #    from the solver's params, must verify as a clean round-trip.
+    sd = {
+        k: torch.from_numpy(np.asarray(v, np.float32))
+        for k, v in params_to_torch_state_dict(solver.params).items()
+    }
+    pt_path = tmp_path / "parity_smoke.pt"
+    torch.save({"model_state_dict": sd}, pt_path)
+    n = verify_conversion(str(pt_path))
+    assert n > 50  # encoder + decoder tensors all mapped
+
+    # 2. All three eval loops on the fixture + the reference table.
+    ds = Dataset3RScan(rescan_dir, min_points=10)
+    results = {
+        "matching": rs_eval_matching(ds, solver),
+        "relocalization": rs_eval_relocalization(ds, solver, optim=False),
+        "reconstruction": rs_eval_reconstruction(ds, solver),
+    }
+    table = parity_table(results)
+    assert "Object-level matching recall" in table
+    assert "Scene-level Hits Recall" in table
+    assert "reloc (Kabsch+ICP)" in table
+    assert "Reconstruction: chamfer" in table
+    # every matching number in the table is a real value, not a dash
+    first_line = table.splitlines()[1]
+    assert "-" not in first_line.split(":", 1)[1]

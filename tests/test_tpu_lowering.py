@@ -259,3 +259,47 @@ def test_knn_topk_scale_kernel_lowers_for_tpu():
 
     pts = f32(2, 1024, 3)
     _lower_tpu(lambda p: knn_with_topk_scale(p, 16), pts)
+
+
+def test_recon_pipeline_lowers_for_tpu():
+    """The recon=True, encode_fps=True bench program — the COMPLETE
+    _solve_end2end equivalent (FPS front end -> encode -> match ->
+    register -> code transport -> hierarchical occupancy grids) at the
+    production extraction settings (res0 32, 2 upsampling steps). This is
+    the fourth bench.py program; a Mosaic regression here must fail the
+    suite rather than silently null the end2end_with_recon metric
+    (VERDICT r3 ask #6). Match: the MISE loop it replaces,
+    lib_shape_prior/.../mesh_extractor2.py:109-133."""
+    from livingscenes_tpu.models.shape_prior import ShapePrior, ShapePriorConfig
+    from livingscenes_tpu.solver.pipeline import (
+        PipelineConfig,
+        build_scene_pair_pipeline,
+    )
+    from livingscenes_tpu.solver.registration import RegistrationConfig
+
+    with jax.enable_x64(False):
+        model = ShapePrior(
+            ShapePriorConfig(pallas_attention=True, n_pcl=512)
+        )
+        params = model.init_params(jax.random.PRNGKey(0))
+        with _fake_tpu_platform():
+            pipeline = build_scene_pair_pipeline(
+                model,
+                PipelineConfig(
+                    optim=False,
+                    registration=RegistrationConfig(
+                        use_icp=True, icp_iterations=100,
+                        sinkhorn_pallas=True,
+                    ),
+                    recon=True,
+                    encode_fps=True,
+                ),
+                mesh=None,
+            )
+            n_full = 4096
+            ref = f32(1, 8, n_full, 3)
+            res = f32(1, 8, n_full, 3)
+            mask = jnp.ones((1, 8, n_full), bool)
+            pipeline.trace(params, ref, res, mask, mask).lower(
+                lowering_platforms=("tpu",)
+            )
