@@ -70,6 +70,12 @@ class RegistrationConfig:
     # Fused ICP correspondence kernel (ops/pallas_icp.py); None = auto
     # (on for TPU with unmasked clouds). False pins the XLA path.
     icp_fused: bool | None = None
+    # Ablation knobs (scripts/ablate_optim.py, VERDICT r3 weak #3 —
+    # root-causing the 48-instance optim regression). Defaults match the
+    # reference (more_solver.py:119-135 direction pick, :150-171
+    # best-loss tracking).
+    direction_pick: bool = True  # False: always optimize pc1 -> pc2
+    track_best: bool = True  # False: return the final iterate, not best
 
 
 class RegistrationResult(NamedTuple):
@@ -224,7 +230,8 @@ def refine_se3(
     (xi, _, best_xi, best_loss, stopped), _ = jax.lax.scan(
         step, init, None, length=cfg.n_steps
     )
-    _, (R, t) = apply_g(best_xi, src_pc)
+    chosen = best_xi if cfg.track_best else xi
+    _, (R, t) = apply_g(chosen, src_pc)
     return R, t, {"best_loss": best_loss, "stopped": stopped}
 
 
@@ -267,9 +274,12 @@ def solve_pairwise_registration(
             refine_decode = decode
         # Direction pick: optimize toward the frame whose code explains its
         # own cloud better (more_solver.py:119-135).
-        err1 = jnp.mean(jnp.abs(decode(pc1, codes1)), axis=-1)
-        err2 = jnp.mean(jnp.abs(decode(pc2, codes2)), axis=-1)
-        fwd = err1 >= err2  # True: optimize pc1 -> pc2 against codes2
+        if cfg.direction_pick:
+            err1 = jnp.mean(jnp.abs(decode(pc1, codes1)), axis=-1)
+            err2 = jnp.mean(jnp.abs(decode(pc2, codes2)), axis=-1)
+            fwd = err1 >= err2  # True: optimize pc1 -> pc2 against codes2
+        else:
+            fwd = jnp.ones(pc1.shape[0], bool)
 
         R_bwd, t_bwd, _ = kabsch_from_codes(codes2, codes1)
         sel = lambda a, b: jnp.where(
