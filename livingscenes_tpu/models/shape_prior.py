@@ -363,12 +363,35 @@ class ShapePrior:
         codes: Codes,
         train: bool = False,
         rngs: Optional[dict] = None,
+        matmul_dtype=None,
     ) -> Array:
-        """SDF at world-space query points (B, M, 3) -> (B, M)."""
+        """SDF at world-space query points (B, M, 3) -> (B, M).
+
+        `matmul_dtype` (e.g. jnp.bfloat16): run the decoder MLP matmuls in
+        that dtype with the invariant query still built in f32 (the
+        (query - t)/s geometry keeps full precision; only the MLP input /
+        weights are cast, f32 accumulation on the MXU). Output is cast
+        back to the query dtype. Used by the decoder_bf16 training knob
+        (TrainLossConfig) and throughput-critical inference."""
         x = self.invariant_query(query, codes, params=params)
         kwargs = {"rngs": rngs} if rngs else {}
+        dec_params = params["decoder"]
+        if matmul_dtype is not None:
+            cast = lambda t: jax.tree.map(
+                lambda a: a.astype(matmul_dtype)
+                if a.dtype == jnp.float32
+                else a,
+                t,
+            )
+            out = self.decoder.apply(
+                {"params": cast(dec_params)},
+                x.astype(matmul_dtype),
+                train=train,
+                **kwargs,
+            )
+            return out.astype(x.dtype)
         return self.decoder.apply(
-            {"params": params["decoder"]}, x, train=train, **kwargs
+            {"params": dec_params}, x, train=train, **kwargs
         )
 
     def occupancy_logits(self, params, query: Array, codes: Codes) -> Array:

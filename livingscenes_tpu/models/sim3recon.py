@@ -45,6 +45,10 @@ class TrainLossConfig:
     rot_aug: bool = False
     iou_threshold: float = 0.5
     w_cls: float = 1.0
+    # bfloat16 decoder matmuls in the train loss (geometry / losses /
+    # grads stay f32; MXU accumulates f32). Off by default — parity with
+    # the reference's f32 training. A/B: docs/ROUND4_NOTES.md.
+    decoder_bf16: bool = False
 
 
 class SIM3Recon:
@@ -147,6 +151,7 @@ class SIM3Recon:
             codes,
             train=train,
             rngs={"dropout": dropout_rng} if (train and dropout_rng is not None) else None,
+            matmul_dtype=jnp.bfloat16 if cfg.decoder_bf16 else None,
         )
 
         err = jnp.abs(sdf_hat - sdf_gt)

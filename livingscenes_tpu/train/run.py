@@ -69,6 +69,7 @@ def build_model(cfg: dict) -> SIM3Recon:
         center_aug_std=m.get("center_aug_std", 0.05),
         rot_aug=m.get("rot_aug", False),
         iou_threshold=cfg_with_default(cfg, ["evaluation", "iou_threshold"], 0.5),
+        decoder_bf16=m.get("decoder_bf16", False),
     )
     return SIM3Recon(prior_cfg, loss_cfg)
 

@@ -35,6 +35,8 @@ def main():
     ap.add_argument("--reps", type=int, default=20)
     ap.add_argument("--xla", action="store_true", help="non-Pallas build")
     ap.add_argument("--train", action="store_true", help="fwd+bwd train loss")
+    ap.add_argument("--bf16-decoder", action="store_true",
+                    help="with --train: bf16 decoder matmuls (decoder_bf16)")
     ap.add_argument(
         "--fps",
         action="store_true",
@@ -84,9 +86,11 @@ def main():
     pc = jax.random.normal(key, (args.batch, args.npts, 3), jnp.float32)
 
     if args.train:
-        from livingscenes_tpu.models.sim3recon import SIM3Recon
+        from livingscenes_tpu.models.sim3recon import SIM3Recon, TrainLossConfig
 
-        m2 = SIM3Recon(cfg)
+        m2 = SIM3Recon(
+            cfg, TrainLossConfig(decoder_bf16=args.bf16_decoder)
+        )
         p2 = m2.init_params(jax.random.PRNGKey(0))
         q = jax.random.normal(key, (args.batch, args.npts, 3), jnp.float32)
         sdf = jax.random.normal(key, (args.batch, args.npts), jnp.float32)
