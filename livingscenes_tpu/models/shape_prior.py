@@ -394,10 +394,14 @@ class ShapePrior:
             {"params": dec_params}, x, train=train, **kwargs
         )
 
-    def occupancy_logits(self, params, query: Array, codes: Codes) -> Array:
+    def occupancy_logits(
+        self, params, query: Array, codes: Codes, matmul_dtype=None
+    ) -> Array:
         """Bernoulli occupancy logits = sdf2occ_factor * sdf
-        (model_utils.py:263)."""
-        return self.config.sdf2occ_factor * self.decode_sdf(params, query, codes)
+        (model_utils.py:263). `matmul_dtype`: see decode_sdf."""
+        return self.config.sdf2occ_factor * self.decode_sdf(
+            params, query, codes, matmul_dtype=matmul_dtype
+        )
 
     # -- classification ------------------------------------------------------
     def classify(self, params, codes: Codes) -> Array:

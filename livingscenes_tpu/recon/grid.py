@@ -288,16 +288,28 @@ def hierarchical_grid_values(
         decode, resolution0, box_size, chunk_size, dtype, mesh, shard_axis
     )
     res = resolution0
+    # Exact-value tracking: every level-0 corner is a true decode; after
+    # each refinement the selected points become exact too. A fine point
+    # whose value is already exact never needs re-evaluation (decode is
+    # deterministic), so it is excluded from the refine budget — for a
+    # typical surface that removes the ~1/8 of active fine points that
+    # sit on the coarser lattice. Output is bit-identical while the cap
+    # doesn't bind (the skipped evaluation would have rewritten the same
+    # number); under overflow it is strictly better (every cap slot now
+    # buys a NEW evaluation instead of re-deriving a known value).
+    exact = jnp.ones_like(values, dtype=bool)
     overflow = []
     for _ in range(upsampling_steps):
         active = _active_cells(values, threshold)
         fine_mask = _points_touching_active(active)
         v_up = _double_resolution(values)
+        e_up = jnp.zeros_like(fine_mask)
+        e_up = e_up.at[::2, ::2, ::2].set(exact)
         res = res * 2
         n = res + 1
         cap = min(refine_cap_factor * n * n, n * n * n)
 
-        flat_mask = fine_mask.reshape(-1)
+        flat_mask = (fine_mask & ~e_up).reshape(-1)
         n_active = jnp.sum(flat_mask.astype(jnp.int32))
         overflow.append(jnp.maximum(n_active - cap, 0))
         closeness = -jnp.abs(v_up.reshape(-1) - threshold)
@@ -311,11 +323,18 @@ def hierarchical_grid_values(
             jnp.stack([ii, jj, kk], axis=-1).astype(dtype) / res - 0.5
         ) * box_size
         vals = _eval_points(decode, pts, chunk_size, mesh, shard_axis)
+        selected = jnp.isfinite(top_score)
         flat = v_up.reshape(-1)
         new_flat = flat.at[top_idx].set(
-            jnp.where(jnp.isfinite(top_score), vals, flat[top_idx])
+            jnp.where(selected, vals, flat[top_idx])
         )
         values = new_flat.reshape(n, n, n)
+        exact = (
+            e_up.reshape(-1)
+            .at[top_idx]
+            .set(selected | e_up.reshape(-1)[top_idx])
+            .reshape(n, n, n)
+        )
     if return_stats:
         stats = {
             "overflow": (

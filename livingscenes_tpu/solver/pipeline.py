@@ -62,6 +62,11 @@ class PipelineConfig:
     # widest decoder activation (chunk x B_instances x 768) stays well
     # under HBM when all instances of all local scenes decode at once.
     recon_chunk: int = 4096
+    # bfloat16 decoder matmuls for the grid decode (f32 geometry; see
+    # decode_sdf matmul_dtype). Grid values feed sign tests + linear
+    # interpolation at the isosurface; the mesh-chamfer impact is
+    # measured in scripts/measure_recon.py --accuracy.
+    recon_bf16: bool = False
 
 
 def build_scene_pair_pipeline(
@@ -147,8 +152,11 @@ def build_scene_pair_pipeline(
             )
             thr = cfg.recon_threshold
             logit_thr = math.log(thr) - math.log(1.0 - thr)
+            mm_dtype = jnp.bfloat16 if cfg.recon_bf16 else None
             grids, overflow = batched_hierarchical_grid_values(
-                lambda q, c: model.occupancy_logits(params, q, c),
+                lambda q, c: model.occupancy_logits(
+                    params, q, c, matmul_dtype=mm_dtype
+                ),
                 canonical,
                 resolution0=cfg.recon_resolution0,
                 upsampling_steps=cfg.recon_upsampling_steps,

@@ -73,22 +73,10 @@ def make_model_codes(batch: int, bf16: bool, seed: int = 0):
         codes, s=jnp.ones_like(codes["s"]), t=jnp.zeros_like(codes["t"])
     )
 
-    if bf16:
-        cast = lambda t: jax.tree.map(
-            lambda x: x.astype(jnp.bfloat16)
-            if x.dtype == jnp.float32
-            else x,
-            t,
-        )
-        params_h = cast(params)
-
-        def logits_fn(q, c):
-            return model.occupancy_logits(
-                params_h, q.astype(jnp.bfloat16), cast(c)
-            ).astype(jnp.float32)
-
-    else:
-        logits_fn = lambda q, c: model.occupancy_logits(params, q, c)
+    mm = jnp.bfloat16 if bf16 else None
+    logits_fn = lambda q, c: model.occupancy_logits(
+        params, q, c, matmul_dtype=mm
+    )
     return model, params, codes, logits_fn
 
 
@@ -214,14 +202,10 @@ def accuracy_ab(args):
         codes, s=jnp.ones_like(codes["s"]), t=jnp.zeros_like(codes["t"])
     )
 
-    cast = lambda t: jax.tree.map(
-        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, t
-    )
-    params_h = cast(params)
     f32_fn = lambda q, c: model.occupancy_logits(params, q, c)
     bf16_fn = lambda q, c: model.occupancy_logits(
-        params_h, q.astype(jnp.bfloat16), cast(c)
-    ).astype(jnp.float32)
+        params, q, c, matmul_dtype=jnp.bfloat16
+    )
 
     cfg = MeshExtractorConfig(
         resolution0=args.res0, upsampling_steps=args.steps
