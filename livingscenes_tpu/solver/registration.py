@@ -76,6 +76,23 @@ class RegistrationConfig:
     # best-loss tracking).
     direction_pick: bool = True  # False: always optimize pc1 -> pc2
     track_best: bool = True  # False: return the final iterate, not best
+    # Per-instance ICP acceptance (round-4 fix for the regression the
+    # reference's unconditional polish causes, more_solver.py:181-184:
+    # ICP has its own fixed point per instance and overwrites the
+    # refinement where its basin is wrong — docs/ablate_optim_r4.json).
+    #   "always"  reference behavior: ICP pose wins unconditionally
+    #   "symch"   keep the ICP pose only where it lowers the symmetric
+    #             mean-NN distance between the transformed source and tgt
+    #   "sdf"     ... only where it lowers mean |decoder sdf| of the
+    #             transformed source under the target's code (needs optim)
+    # Proxy choice measured in scripts/probe_icp_accept.py
+    # (docs/probe_icp_accept_r4.json, 48 instances, trained ckpt):
+    #   reference "always": recall@RRE10/5 = 85.42/60.42
+    #   no ICP at all:                       93.75/68.75
+    #   "symch" acceptance:                  97.92/72.92  (oracle: 97.92/85.42)
+    # so per-instance symmetric-chamfer acceptance is the production default;
+    # "always" remains available for reference-faithful comparisons.
+    icp_accept: str = "symch"
 
 
 class RegistrationResult(NamedTuple):
@@ -309,5 +326,33 @@ def solve_pairwise_registration(
             max_iterations=cfg.icp_iterations,
             fused_stats=cfg.icp_fused,
         )
-        R, t = res.R, res.t[..., None]
+        R_icp, t_icp = res.R, res.t[..., None]
+        if cfg.icp_accept == "always":
+            R, t = R_icp, t_icp
+        else:
+            move = lambda Rm, tm: (
+                jnp.einsum("bij,bnj->bni", Rm, pc1) + tm[..., 0][:, None]
+            )
+            if cfg.icp_accept == "symch":
+
+                def proxy(moved):
+                    # squared distances via one MXU matmul (no (B,N,M,3)
+                    # transient); min(d^2) == min(d)^2 so sqrt after the min
+                    d2 = (
+                        jnp.sum(moved**2, -1)[:, :, None]
+                        + jnp.sum(pc2**2, -1)[:, None]
+                        - 2.0 * jnp.einsum("bnd,bmd->bnm", moved, pc2)
+                    )
+                    d = jnp.sqrt(jnp.maximum(d2, 0.0))
+                    return jnp.min(d, 2).mean(1) + jnp.min(d, 1).mean(1)
+
+            elif cfg.icp_accept == "sdf":
+                proxy = lambda moved: jnp.abs(
+                    model.decode_sdf(params, moved, codes2)
+                ).mean(axis=-1)
+            else:
+                raise ValueError(f"icp_accept={cfg.icp_accept!r}")
+            take = proxy(move(R_icp, t_icp)) < proxy(move(R, t))
+            R = jnp.where(take[:, None, None], R_icp, R)
+            t = jnp.where(take[:, None, None], t_icp, t)
     return R, t

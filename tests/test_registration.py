@@ -157,6 +157,89 @@ def test_solve_transform_from_latent(rng):
     np.testing.assert_allclose(np.asarray(g[0, :3, 3]), np.asarray(t[0, 0]), atol=1e-8)
 
 
+def _symch(a, b):
+    d = np.linalg.norm(np.asarray(a)[:, :, None] - np.asarray(b)[:, None], axis=-1)
+    return d.min(2).mean(1) + d.min(1).mean(1)
+
+
+def test_icp_accept_symch_picks_per_instance_argmin(rng):
+    """icp_accept='symch' must keep, per instance, whichever of the pre-ICP
+    and post-ICP poses has lower symmetric chamfer (the production default;
+    GT-tracking of the proxy measured in docs/probe_icp_accept_r4.json)."""
+    from livingscenes_tpu.solver.registration import (
+        solve_pairwise_registration,
+    )
+
+    B, N = 2, 48
+    pc1 = jnp.asarray(rng.normal(size=(B, N, 3)), jnp.float32) * 0.4
+    R_gt = jnp.asarray(Rotation.random(B, random_state=11).as_matrix(), jnp.float32)
+    t_gt = jnp.asarray(rng.normal(size=(B, 1, 3)) * 0.3, jnp.float32)
+    pc2 = jnp.einsum("bij,bnj->bni", R_gt, pc1) + t_gt
+
+    # codes that make Kabsch exact for instance 1, ~8 deg off for instance 0
+    codes1 = make_codes(rng, B)
+    dR = jnp.asarray(
+        np.stack(
+            [
+                Rotation.from_euler("xyz", [5, -4, 4], degrees=True).as_matrix(),
+                np.eye(3),
+            ]
+        ),
+        jnp.float32,
+    )
+    codes2 = {
+        **codes1,
+        "z_so3": jnp.einsum(
+            "bij,bjk,bck->bci", R_gt, dR, codes1["z_so3"].astype(jnp.float32)
+        ),
+        "t": jnp.einsum("bij,bnj->bni", R_gt, codes1["t"].astype(jnp.float32))
+        + t_gt,
+    }
+
+    base = dict(icp_iterations=25)
+    R_pre, t_pre = solve_pairwise_registration(
+        None, None, pc1, pc2, codes1, codes2, optim=False,
+        cfg=RegistrationConfig(**base, use_icp=False),
+    )
+    R_icp, t_icp = solve_pairwise_registration(
+        None, None, pc1, pc2, codes1, codes2, optim=False,
+        cfg=RegistrationConfig(**base, icp_accept="always"),
+    )
+    R_sel, t_sel = solve_pairwise_registration(
+        None, None, pc1, pc2, codes1, codes2, optim=False,
+        cfg=RegistrationConfig(**base, icp_accept="symch"),
+    )
+
+    def moved(R, t):
+        return jnp.einsum("bij,bnj->bni", R, pc1) + t[..., 0][:, None]
+
+    p_pre = _symch(moved(R_pre, t_pre), pc2)
+    p_icp = _symch(moved(R_icp, t_icp), pc2)
+    for b in range(B):
+        want_R, want_t = (
+            (R_icp, t_icp) if p_icp[b] < p_pre[b] else (R_pre, t_pre)
+        )
+        if abs(p_icp[b] - p_pre[b]) < 1e-6:
+            continue  # near-tie: either pose is acceptable
+        np.testing.assert_allclose(
+            np.asarray(R_sel[b]), np.asarray(want_R[b]), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(t_sel[b]), np.asarray(want_t[b]), atol=1e-5
+        )
+    # ICP genuinely improves the perturbed instance, so acceptance takes it
+    assert p_icp[0] < p_pre[0]
+    # and the selection jits
+    fn = jax.jit(
+        lambda p1, p2: solve_pairwise_registration(
+            None, None, p1, p2, codes1, codes2, optim=False,
+            cfg=RegistrationConfig(**base, icp_accept="symch"),
+        )
+    )
+    R_j, _ = fn(pc1, pc2)
+    np.testing.assert_allclose(np.asarray(R_j), np.asarray(R_sel), atol=1e-5)
+
+
 def test_refine_bf16_matches_f32(rng):
     """refine_bf16 (half-precision decoder inside the 400-step loop) must
     land on the same pose as the f32 path within registration noise."""
