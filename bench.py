@@ -95,9 +95,10 @@ def build(mesh, optim: bool, pallas: bool = True, recon: bool = False,
 
 
 def load_trained_params():
-    """The committed 30k-iteration checkpoint (weights/, load-tested in
-    tests/test_model_surface.py) — the recon leg must mesh REAL fields,
-    not random-weight noise (VERDICT r3 weak #1)."""
+    """The committed trained checkpoint (the 100k-run r4 selection when
+    present, else the 30k r3 one; load-tested in tests/test_model_surface.py)
+    — the recon leg must mesh REAL fields, not random-weight noise
+    (VERDICT r3 weak #1)."""
     from flax import serialization
 
     path = os.path.join(

@@ -212,19 +212,20 @@ def test_pe_projector_converter_roundtrip():
         back["pe_projector"]["weight"],
         atol=0,
     )
-def test_committed_plateau_checkpoint_loads_and_encodes():
-    """The in-repo trained checkpoint (weights/plateau_r3_selected.ckpt,
-    the 30k-run selected params) must keep loading through the public
-    solver entry point and produce finite, sane codes — guards the
-    artifact against checkpoint-format or param-tree drift."""
+@pytest.mark.parametrize(
+    "name", ["plateau_r3_selected.ckpt", "plateau_r4_selected.ckpt"]
+)
+def test_committed_plateau_checkpoint_loads_and_encodes(name):
+    """The in-repo trained checkpoints (weights/plateau_r3_selected.ckpt,
+    the 30k-run selected params; weights/plateau_r4_selected.ckpt, the
+    100k-run selected params at step 72k, val IoU 0.914) must keep loading
+    through the public solver entry point and produce finite, sane codes —
+    guards the artifacts against checkpoint-format or param-tree drift."""
     import os
 
     from livingscenes_tpu.eval.run_flyingshape import load_solver
 
-    path = os.path.join(
-        os.path.dirname(__file__), "..", "weights",
-        "plateau_r3_selected.ckpt",
-    )
+    path = os.path.join(os.path.dirname(__file__), "..", "weights", name)
     solver = load_solver(path, fast=False)
     rng = np.random.default_rng(0)
     pc = jnp.asarray(
