@@ -27,7 +27,7 @@ and writes per-instance (scene, obj, rre, rte, chamfer) records per
 variant so regressing instances can be attributed to shape geometry
 (symmetry) vs optimizer behavior.
 
-    python scripts/ablate_optim.py --ckpt weights/plateau_r3_selected.ckpt \
+    python scripts/ablate_optim.py --ckpt weights/plateau_r4_selected.ckpt \
         --n-scenes 12 --out docs/ablate_optim_r4.json
 """
 from __future__ import annotations
@@ -106,7 +106,7 @@ def summarize(records):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--ckpt", default="weights/plateau_r3_selected.ckpt")
+    ap.add_argument("--ckpt", default="weights/plateau_r4_selected.ckpt")
     ap.add_argument("--root", default="/tmp/lstpu_ablate_optim")
     ap.add_argument("--n-scenes", type=int, default=12)
     ap.add_argument("--n-pts", type=int, default=512)

@@ -68,7 +68,7 @@ def main():
     ap.add_argument("--steps", type=int, default=2)
     ap.add_argument("--ckpt", default=os.path.join(
         os.path.dirname(__file__), "..", "weights",
-        "plateau_r3_selected.ckpt"))
+        "plateau_r4_selected.ckpt"))
     args = ap.parse_args()
 
     from livingscenes_tpu.eval.run_flyingshape import load_solver

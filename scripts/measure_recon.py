@@ -185,7 +185,7 @@ def accuracy_ab(args):
 
     ckpt = os.path.join(
         os.path.dirname(__file__), "..", "weights",
-        "plateau_r3_selected.ckpt",
+        "plateau_r4_selected.ckpt",
     )
     solver = load_solver(ckpt, fast=jax.devices()[0].platform == "tpu")
     model, params = solver.model, solver.params

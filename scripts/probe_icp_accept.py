@@ -55,7 +55,7 @@ def symm_chamfer(a, b):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--ckpt", default="weights/plateau_r3_selected.ckpt")
+    ap.add_argument("--ckpt", default="weights/plateau_r4_selected.ckpt")
     ap.add_argument("--root", default="/tmp/lstpu_probe_icp")
     ap.add_argument("--n-scenes", type=int, default=12)
     ap.add_argument("--n-pts", type=int, default=512)
