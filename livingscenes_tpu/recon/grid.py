@@ -184,16 +184,25 @@ def batched_hierarchical_grid_values(
     return jax.vmap(one)(codes)
 
 
+def _interleave_axis0(a: Array, b: Array) -> Array:
+    """(n, ...), (n-1, ...) -> (2n-1, ...) = a0 b0 a1 b1 ... a_{n-1}.
+
+    Expressed as stack+reshape (compiles to data movement the TPU VPU
+    handles at line rate) instead of strided `.at[0::2].set` scatters.
+    """
+    head = jnp.stack([a[:-1], b], axis=1).reshape(
+        (2 * (a.shape[0] - 1),) + a.shape[1:]
+    )
+    return jnp.concatenate([head, a[-1:]], axis=0)
+
+
 def _double_resolution(v: Array) -> Array:
     """Trilinear x2 upsampling of a corner grid (n -> 2n-1 per axis),
     exact at existing corners."""
 
     def double_axis(a, axis):
         a = jnp.moveaxis(a, axis, 0)
-        mid = 0.5 * (a[:-1] + a[1:])
-        out = jnp.empty((2 * a.shape[0] - 1,) + a.shape[1:], a.dtype)
-        out = out.at[0::2].set(a)
-        out = out.at[1::2].set(mid)
+        out = _interleave_axis0(a, 0.5 * (a[:-1] + a[1:]))
         return jnp.moveaxis(out, 0, axis)
 
     for ax in range(3):
@@ -216,45 +225,39 @@ def _active_cells(values: Array, threshold: float) -> Array:
         hi = jax.lax.slice_in_dim(any_in, 1, any_in.shape[ax], axis=ax)
         any_in = lo | hi
     active = any_in & ~all_in
-    # Dilate by 1 cell in each direction.
-    pad = jnp.pad(active, 1)
-    dil = jnp.zeros_like(active)
-    for dx in (-1, 0, 1):
-        for dy in (-1, 0, 1):
-            for dz in (-1, 0, 1):
-                r = active.shape[0]
-                dil = dil | jax.lax.dynamic_slice(
-                    pad, (dx + 1, dy + 1, dz + 1), (r, r, r)
-                )
-    return dil
+    # Dilate by 1 cell in each direction (3^3 box = separable: 3 shifted
+    # ORs per axis instead of 27 3-D ones).
+    for ax in range(3):
+        m = jnp.moveaxis(active, ax, 0)
+        p = jnp.pad(m, ((1, 1),) + ((0, 0),) * (m.ndim - 1))
+        m = p[:-2] | p[1:-1] | p[2:]
+        active = jnp.moveaxis(m, 0, ax)
+    return active
 
 
 def _points_touching_active(active: Array) -> Array:
-    """(2r+1)^3 mask of fine grid points lying in/on any active coarse cell."""
-    r = active.shape[0]
-    n_fine = 2 * r + 1
-    # Fine point (i, j, k) touches coarse cells with index range
-    # [ceil(i/2) - 1, floor(i/2)] per axis (clamped). Equivalent to a
-    # max-pool of the active mask onto the doubled grid.
-    pad = jnp.pad(active, 1)  # (r+2)^3
+    """(2r+1)^3 mask of fine grid points lying in/on any active coarse cell.
 
-    def cells_for(i):
-        # coarse cell indices (in padded coords) potentially containing fine i
-        lo = (i + 1) // 2  # ceil(i/2) - 1, +1 for padding
-        hi = i // 2 + 1
-        return lo, hi
+    Fine point i touches coarse cells [ceil(i/2)-1, floor(i/2)] per axis
+    (clamped): even i=2c touches cells {c-1, c}, odd i=2c+1 touches {c}.
+    The touching set is a product of per-axis ranges, so the 3-D mask is
+    built by expanding one axis at a time — a shifted OR for the even
+    points interleaved with the cell mask for the odd points. Pure
+    slice/stack data movement; no gathers (the previous 8-corner
+    advanced-indexing form dominated the refine level's select cost on
+    TPU).
+    """
 
-    idx = jnp.arange(n_fine)
-    lo, hi = cells_for(idx)
-    mask = jnp.zeros((n_fine, n_fine, n_fine), bool)
-    for a in (0, 1):
-        for b in (0, 1):
-            for c in (0, 1):
-                sel_x = jnp.where(a == 0, lo, hi)
-                sel_y = jnp.where(b == 0, lo, hi)
-                sel_z = jnp.where(c == 0, lo, hi)
-                mask = mask | pad[sel_x][:, sel_y][:, :, sel_z]
-    return mask
+    def expand_axis(m, axis):
+        m0 = jnp.moveaxis(m, axis, 0)
+        p = jnp.pad(m0, ((1, 1),) + ((0, 0),) * (m0.ndim - 1))
+        even = p[:-1] | p[1:]  # even[c] = cell[c-1] | cell[c]
+        out = _interleave_axis0(even, m0)
+        return jnp.moveaxis(out, 0, axis)
+
+    for ax in range(3):
+        active = expand_axis(active, ax)
+    return active
 
 
 def hierarchical_grid_values(
@@ -299,18 +302,27 @@ def hierarchical_grid_values(
     # buys a NEW evaluation instead of re-deriving a known value).
     exact = jnp.ones_like(values, dtype=bool)
     overflow = []
+    active_counts = []
     for _ in range(upsampling_steps):
         active = _active_cells(values, threshold)
         fine_mask = _points_touching_active(active)
         v_up = _double_resolution(values)
-        e_up = jnp.zeros_like(fine_mask)
-        e_up = e_up.at[::2, ::2, ::2].set(exact)
+        # exact mask on the doubled lattice: true at even-even-even
+        # points only (interleave with False planes; no strided scatter)
+        e_up = exact
+        for ax in range(3):
+            m0 = jnp.moveaxis(e_up, ax, 0)
+            m0 = _interleave_axis0(
+                m0, jnp.zeros((m0.shape[0] - 1,) + m0.shape[1:], bool)
+            )
+            e_up = jnp.moveaxis(m0, 0, ax)
         res = res * 2
         n = res + 1
         cap = min(refine_cap_factor * n * n, n * n * n)
 
         flat_mask = (fine_mask & ~e_up).reshape(-1)
         n_active = jnp.sum(flat_mask.astype(jnp.int32))
+        active_counts.append(n_active)
         overflow.append(jnp.maximum(n_active - cap, 0))
         closeness = -jnp.abs(v_up.reshape(-1) - threshold)
         score = jnp.where(flat_mask, closeness, -jnp.inf)
@@ -341,7 +353,18 @@ def hierarchical_grid_values(
                 jnp.stack(overflow)
                 if overflow
                 else jnp.zeros((0,), jnp.int32)
-            )
+            ),
+            # Pre-cap active-point count per level (what MISE would have
+            # evaluated). cap_factor tuning data: the refine decode costs
+            # cap = cap_factor * (res+1)^2 per level regardless of
+            # content, so cap_factor should sit just above the real
+            # shapes' n_active / (res+1)^2 (scripts/measure_recon.py
+            # --counts measures it on trained-checkpoint shapes).
+            "n_active": (
+                jnp.stack(active_counts)
+                if active_counts
+                else jnp.zeros((0,), jnp.int32)
+            ),
         }
         return values, stats
     return values

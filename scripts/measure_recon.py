@@ -94,10 +94,15 @@ def main():
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--accuracy", action="store_true",
                     help="f32 vs bf16 grid -> mesh chamfer on a trained ckpt")
+    ap.add_argument("--counts", action="store_true",
+                    help="pre-cap active-point counts per level on trained-"
+                         "checkpoint shapes (cap_factor tuning data)")
     args = ap.parse_args()
 
     if args.accuracy:
         return accuracy_ab(args)
+    if args.counts:
+        return active_counts(args)
 
     from livingscenes_tpu.recon.grid import (
         batched_hierarchical_grid_values,
@@ -161,27 +166,12 @@ def main():
     )
 
 
-def accuracy_ab(args):
-    """Mesh-accuracy A/B: f32 vs bf16 grids from the trained checkpoint.
-
-    Encodes procedural training-family shapes with the committed trained
-    weights, evaluates the hierarchical grid both ways, extracts meshes,
-    and reports symmetric chamfer(f32 mesh, bf16 mesh) against the voxel
-    size — the decision number for shipping bf16 grid decode.
-    """
+def _trained_canonical_codes(args, seed: int = 11):
+    """(model, params, canonical codes) for `args.batch` procedural
+    training-family shapes encoded with the committed trained weights —
+    the field content the production recon stage actually decodes."""
     from livingscenes_tpu.eval.run_flyingshape import load_solver
-    from livingscenes_tpu.recon.extractor import (
-        MeshExtractorConfig,
-        extract_mesh_from_grid,
-    )
-    from livingscenes_tpu.recon.grid import batched_hierarchical_grid_values
-    from livingscenes_tpu.native.bindings import KDTree
     from livingscenes_tpu.train.data import SyntheticShapeDataset
-
-    def chamfer(a, b):
-        d1, _ = KDTree(b.astype(np.float32)).query(a.astype(np.float32))
-        d2, _ = KDTree(a.astype(np.float32)).query(b.astype(np.float32))
-        return 0.5 * (np.mean(d1) + np.mean(d2))
 
     ckpt = os.path.join(
         os.path.dirname(__file__), "..", "weights",
@@ -191,7 +181,7 @@ def accuracy_ab(args):
     model, params = solver.model, solver.params
 
     ds = SyntheticShapeDataset(n_items=1, n_pcl=512)
-    rng = np.random.default_rng(11)
+    rng = np.random.default_rng(seed)
     clouds = []
     for _ in range(args.batch):
         sdf = ds._shape_sdf(rng)
@@ -201,6 +191,78 @@ def accuracy_ab(args):
     canonical = dict(
         codes, s=jnp.ones_like(codes["s"]), t=jnp.zeros_like(codes["t"])
     )
+    return model, params, canonical
+
+
+def active_counts(args):
+    """Pre-cap active-point counts per refine level on trained shapes.
+
+    The refine decode costs cap_factor * (res+1)^2 points per level per
+    instance whatever the content; MISE would evaluate only n_active.
+    This prints n_active per level across real (trained-checkpoint)
+    shapes so cap_factor can be set just above the observed maximum —
+    bit-identical output as long as overflow stays 0, at
+    cap_factor/24 of the round-3 refine FLOPs.
+    """
+    from livingscenes_tpu.recon.grid import hierarchical_grid_values
+
+    model, params, canonical = _trained_canonical_codes(args)
+    thr = 0.5
+    logit_thr = float(np.log(thr) - np.log(1.0 - thr))
+
+    def stats_one(codes_i):
+        decode = lambda pts: model.occupancy_logits(
+            params, pts[None], jax.tree.map(lambda x: x[None], codes_i)
+        )[0]
+        _, stats = hierarchical_grid_values(
+            decode,
+            resolution0=args.res0,
+            upsampling_steps=args.steps,
+            threshold=logit_thr,
+            box_size=1.1,
+            chunk_size=args.chunk,
+            # generous cap so the counts themselves are exact
+            refine_cap_factor=10 * args.cap,
+            return_stats=True,
+        )
+        return stats["n_active"]
+
+    counts = np.asarray(jax.jit(jax.vmap(stats_one))(canonical))
+    res = args.res0
+    for lvl in range(args.steps):
+        res *= 2
+        side = res + 1
+        c = counts[:, lvl]
+        print(
+            f"level {lvl} (res {res}): n_active min {c.min()} "
+            f"median {int(np.median(c))} max {c.max()} "
+            f"-> cap_factor needed (max/side^2): "
+            f"{c.max() / side / side:.1f} "
+            f"(current cap {args.cap * side * side})"
+        )
+
+
+def accuracy_ab(args):
+    """Mesh-accuracy A/B: f32 vs bf16 grids from the trained checkpoint.
+
+    Encodes procedural training-family shapes with the committed trained
+    weights, evaluates the hierarchical grid both ways, extracts meshes,
+    and reports symmetric chamfer(f32 mesh, bf16 mesh) against the voxel
+    size — the decision number for shipping bf16 grid decode.
+    """
+    from livingscenes_tpu.recon.extractor import (
+        MeshExtractorConfig,
+        extract_mesh_from_grid,
+    )
+    from livingscenes_tpu.recon.grid import batched_hierarchical_grid_values
+    from livingscenes_tpu.native.bindings import KDTree
+
+    def chamfer(a, b):
+        d1, _ = KDTree(b.astype(np.float32)).query(a.astype(np.float32))
+        d2, _ = KDTree(a.astype(np.float32)).query(b.astype(np.float32))
+        return 0.5 * (np.mean(d1) + np.mean(d2))
+
+    model, params, canonical = _trained_canonical_codes(args)
 
     f32_fn = lambda q, c: model.occupancy_logits(params, q, c)
     bf16_fn = lambda q, c: model.occupancy_logits(
