@@ -336,15 +336,27 @@ def hierarchical_grid_values(
         ) * box_size
         vals = _eval_points(decode, pts, chunk_size, mesh, shard_axis)
         selected = jnp.isfinite(top_score)
-        flat = v_up.reshape(-1)
-        new_flat = flat.at[top_idx].set(
-            jnp.where(selected, vals, flat[top_idx])
+        # Scatter the refined values back. top_k indices are unique by
+        # construction; slots past n_active (score -inf) are routed to
+        # unique out-of-bounds sentinels and dropped, so the scatter
+        # carries both XLA fast-path promises (unique_indices +
+        # promise-free drop mode) instead of the general duplicate-safe
+        # lowering — on a v5e chip the general scatter pair cost ~190 ms
+        # of the production grid eval (scripts/probe_recon_penalty.py);
+        # this form also removes the flat[top_idx] fallback gather.
+        idx_sel = jnp.where(
+            selected, top_idx, n * n * n + jnp.arange(cap, dtype=top_idx.dtype)
         )
-        values = new_flat.reshape(n, n, n)
+        values = (
+            v_up.reshape(-1)
+            .at[idx_sel]
+            .set(vals, mode="drop", unique_indices=True)
+            .reshape(n, n, n)
+        )
         exact = (
             e_up.reshape(-1)
-            .at[top_idx]
-            .set(selected | e_up.reshape(-1)[top_idx])
+            .at[idx_sel]
+            .set(True, mode="drop", unique_indices=True)
             .reshape(n, n, n)
         )
     if return_stats:

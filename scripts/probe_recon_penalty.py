@@ -1,0 +1,198 @@
+"""Localize the recon full-program 'composition penalty' on TPU.
+
+Round-4 measurements (ROUND4_NOTES §3) show the full hierarchical grid
+eval runs at 11.5 Mq/s while the *same total decode work* isolated runs
+at 20.4 Mq/s and the decode-free select machinery costs only ~27 ms —
+i.e. ~295 ms/call of the full program is unaccounted interaction between
+the decode and the grid machinery. This script re-times a local fork of
+`recon.grid.hierarchical_grid_values` (control, validated against the
+production `full` number) with one structural element removed at a time:
+
+  control      exact production semantics (should reproduce ~744 ms)
+  free0        level-0 dense decode replaced by a coords-sum (refine
+               decode still real) — charges level-0's share
+  freerefine   refine decodes replaced by a coords-sum (level-0 real)
+               — charges the refine levels' share
+  fixedpts     refine decode runs on cap-many FIXED points (independent
+               of top_k) while scatter still uses top_idx — removes the
+               top_k -> gather -> decode data dependency / gathered
+               point layout
+  noscatter    refine decode on the real selected points, but results
+               merged with a flat add instead of the .at[top_idx].set
+               scatter — removes the 2.1M-point scatter after decode
+  nodedup      exact-value dedup tracking removed (mask = fine_mask
+               alone) — charges the e_up bookkeeping
+
+Each variant is timed exactly like scripts/measure_recon.py: `reps`
+calls inside ONE jitted lax.scan, second invocation timed (tunnel floors
+per-dispatch latency; see measure_encode.py).
+
+Usage: python scripts/probe_recon_penalty.py --variant control
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/lstpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+import jax.numpy as jnp
+
+from livingscenes_tpu.recon.grid import (
+    _active_cells,
+    _chunked_eval,
+    _double_resolution,
+    _interleave_axis0,
+    _points_touching_active,
+    dense_grid_values,
+)
+from scripts.measure_recon import make_model_codes, total_queries
+
+
+def hier_variant(
+    decode,
+    variant: str,
+    resolution0: int,
+    upsampling_steps: int,
+    threshold: float,
+    box_size: float,
+    chunk_size: int,
+    refine_cap_factor: int,
+):
+    """Fork of hierarchical_grid_values with one element removed."""
+    free = lambda pts: jnp.sum(pts, axis=-1)
+    dec0 = free if variant == "free0" else decode
+    dec_ref = free if variant == "freerefine" else decode
+
+    values = dense_grid_values(
+        decode=dec0,
+        resolution=resolution0,
+        box_size=box_size,
+        chunk_size=chunk_size,
+    )
+    res = resolution0
+    exact = jnp.ones_like(values, dtype=bool)
+    for _ in range(upsampling_steps):
+        active = _active_cells(values, threshold)
+        fine_mask = _points_touching_active(active)
+        v_up = _double_resolution(values)
+        e_up = exact
+        for ax in range(3):
+            m0 = jnp.moveaxis(e_up, ax, 0)
+            m0 = _interleave_axis0(
+                m0, jnp.zeros((m0.shape[0] - 1,) + m0.shape[1:], bool)
+            )
+            e_up = jnp.moveaxis(m0, 0, ax)
+        res = res * 2
+        n = res + 1
+        cap = min(refine_cap_factor * n * n, n * n * n)
+
+        if variant == "nodedup":
+            flat_mask = fine_mask.reshape(-1)
+        else:
+            flat_mask = (fine_mask & ~e_up).reshape(-1)
+        closeness = -jnp.abs(v_up.reshape(-1) - threshold)
+        score = jnp.where(flat_mask, closeness, -jnp.inf)
+        top_score, top_idx = jax.lax.top_k(score, cap)
+        ii = top_idx // (n * n)
+        jj = (top_idx // n) % n
+        kk = top_idx % n
+        pts = (
+            jnp.stack([ii, jj, kk], axis=-1).astype(jnp.float32) / res - 0.5
+        ) * box_size
+        if variant == "fixedpts":
+            # same shape/count, no dependence on top_idx
+            lin = jnp.arange(cap, dtype=jnp.float32)
+            pts = jnp.stack(
+                [lin % n, (lin / n) % n, lin / (n * n)], axis=-1
+            ) / res - 0.5
+        vals = _chunked_eval(dec_ref, pts, chunk_size)
+        selected = jnp.isfinite(top_score)
+        flat = v_up.reshape(-1)
+        if variant == "noscatter":
+            values = v_up + 1e-20 * jnp.sum(vals)
+        else:
+            new_flat = flat.at[top_idx].set(
+                jnp.where(selected, vals, flat[top_idx])
+            )
+            values = new_flat.reshape(n, n, n)
+        exact = (
+            e_up.reshape(-1)
+            .at[top_idx]
+            .set(selected | e_up.reshape(-1)[top_idx])
+            .reshape(n, n, n)
+        )
+    return values
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--res0", type=int, default=32)
+    ap.add_argument("--steps", type=int, default=2)
+    ap.add_argument("--cap", type=int, default=24)
+    ap.add_argument("--chunk", type=int, default=4096)
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument(
+        "--variant",
+        default="control",
+        choices=[
+            "control",
+            "free0",
+            "freerefine",
+            "fixedpts",
+            "noscatter",
+            "nodedup",
+        ],
+    )
+    args = ap.parse_args()
+
+    model, params, codes, logits_fn = make_model_codes(args.batch, False)
+    B = args.batch
+    n_q = total_queries(args.res0, args.steps, args.cap)
+
+    def one(codes_i):
+        decode = lambda pts: logits_fn(
+            pts[None], jax.tree.map(lambda x: x[None], codes_i)
+        )[0]
+        return hier_variant(
+            decode,
+            args.variant,
+            resolution0=args.res0,
+            upsampling_steps=args.steps,
+            threshold=0.0,
+            box_size=1.1,
+            chunk_size=args.chunk,
+            refine_cap_factor=args.cap,
+        )
+
+    def body(c, _):
+        perturbed = dict(codes, z_inv=codes["z_inv"] + c * 1e-9)
+        values = jax.vmap(one)(perturbed)
+        return c + jnp.sum(values[:, ::64, ::64, ::64]), None
+
+    run = jax.jit(
+        lambda: jax.lax.scan(body, jnp.float32(0), None, args.reps)[0]
+    )
+    t0 = time.perf_counter()
+    float(run())
+    print(f"compile+first: {time.perf_counter() - t0:.1f} s")
+    t0 = time.perf_counter()
+    float(run())
+    dt = (time.perf_counter() - t0) / args.reps
+    print(
+        f"recon-penalty [{args.variant}] B={B} res0={args.res0} "
+        f"steps={args.steps} cap={args.cap} ({n_q} q/inst): "
+        f"{dt * 1e3:.1f} ms/call ({B * n_q / dt / 1e6:.1f} Mq/s)"
+    )
+
+
+if __name__ == "__main__":
+    main()
