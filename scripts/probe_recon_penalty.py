@@ -22,6 +22,10 @@ production `full` number) with one structural element removed at a time:
                scatter — removes the 2.1M-point scatter after decode
   nodedup      exact-value dedup tracking removed (mask = fine_mask
                alone) — charges the e_up bookkeeping
+  notopk       top_k replaced by an iota selection (same shapes; no
+               sort) — charges the 2.1M-element top_k sort
+  oldscatter   the pre-round-4 duplicate-safe scatter + fallback gather
+               (control is the current unique/drop production form)
 
 Each variant is timed exactly like scripts/measure_recon.py: `reps`
 calls inside ONE jitted lax.scan, second invocation timed (tunnel floors
@@ -100,7 +104,15 @@ def hier_variant(
             flat_mask = (fine_mask & ~e_up).reshape(-1)
         closeness = -jnp.abs(v_up.reshape(-1) - threshold)
         score = jnp.where(flat_mask, closeness, -jnp.inf)
-        top_score, top_idx = jax.lax.top_k(score, cap)
+        if variant == "notopk":
+            # same output shapes/dtypes, no sort; data dependence on the
+            # score kept via one scalar so nothing constant-folds
+            top_idx = jnp.arange(cap, dtype=jnp.int32) + (
+                jnp.max(score[:1]).astype(jnp.int32) * 0
+            )
+            top_score = score[:cap]
+        else:
+            top_score, top_idx = jax.lax.top_k(score, cap)
         ii = top_idx // (n * n)
         jj = (top_idx // n) % n
         kk = top_idx % n
@@ -115,20 +127,39 @@ def hier_variant(
             ) / res - 0.5
         vals = _chunked_eval(dec_ref, pts, chunk_size)
         selected = jnp.isfinite(top_score)
-        flat = v_up.reshape(-1)
         if variant == "noscatter":
             values = v_up + 1e-20 * jnp.sum(vals)
-        else:
+            exact = e_up
+        elif variant == "oldscatter":
+            flat = v_up.reshape(-1)
             new_flat = flat.at[top_idx].set(
                 jnp.where(selected, vals, flat[top_idx])
             )
             values = new_flat.reshape(n, n, n)
-        exact = (
-            e_up.reshape(-1)
-            .at[top_idx]
-            .set(selected | e_up.reshape(-1)[top_idx])
-            .reshape(n, n, n)
-        )
+            exact = (
+                e_up.reshape(-1)
+                .at[top_idx]
+                .set(selected | e_up.reshape(-1)[top_idx])
+                .reshape(n, n, n)
+            )
+        else:
+            idx_sel = jnp.where(
+                selected,
+                top_idx,
+                n * n * n + jnp.arange(cap, dtype=top_idx.dtype),
+            )
+            values = (
+                v_up.reshape(-1)
+                .at[idx_sel]
+                .set(vals, mode="drop", unique_indices=True)
+                .reshape(n, n, n)
+            )
+            exact = (
+                e_up.reshape(-1)
+                .at[idx_sel]
+                .set(True, mode="drop", unique_indices=True)
+                .reshape(n, n, n)
+            )
     return values
 
 
@@ -150,6 +181,8 @@ def main():
             "fixedpts",
             "noscatter",
             "nodedup",
+            "notopk",
+            "oldscatter",
         ],
     )
     args = ap.parse_args()
