@@ -26,6 +26,17 @@ production `full` number) with one structural element removed at a time:
                sort) — charges the 2.1M-element top_k sort
   oldscatter   the pre-round-4 duplicate-safe scatter + fallback gather
                (control is the current unique/drop production form)
+  packsort     top_k(f32 score) replaced by an int32 packed-key sort:
+               key = where(mask, iota, N), jnp.sort, take [:cap] — the
+               minimal exact compaction (half the sort traffic, no f32
+               score construction; drop order under overflow becomes
+               lattice order instead of closeness)
+  ps_nodedup   packsort + exact-value dedup tracking removed
+  ps_nd_hostfinal  packsort + nodedup + the FINAL level's merge moved
+               off-device: the program returns (v_up, idx, vals) and the
+               host applies flat[idx]=vals before marching tets (a ~ms
+               numpy fancy-index; removes the 399k-update scatter into
+               the 2.15M grid from the device program)
 
 Each variant is timed exactly like scripts/measure_recon.py: `reps`
 calls inside ONE jitted lax.scan, second invocation timed (tunnel floors
@@ -74,6 +85,10 @@ def hier_variant(
     free = lambda pts: jnp.sum(pts, axis=-1)
     dec0 = free if variant == "free0" else decode
     dec_ref = free if variant == "freerefine" else decode
+    packsort = variant.startswith("packsort") or variant.startswith("ps_")
+    nodedup = variant == "nodedup" or "_nodedup" in variant or "_nd" in variant
+    hostfinal = "hostfinal" in variant
+    extra = jnp.float32(0)  # data dependence for host-merge outputs
 
     values = dense_grid_values(
         decode=dec0,
@@ -83,39 +98,53 @@ def hier_variant(
     )
     res = resolution0
     exact = jnp.ones_like(values, dtype=bool)
-    for _ in range(upsampling_steps):
+    for step in range(upsampling_steps):
+        last = step == upsampling_steps - 1
         active = _active_cells(values, threshold)
         fine_mask = _points_touching_active(active)
         v_up = _double_resolution(values)
-        e_up = exact
-        for ax in range(3):
-            m0 = jnp.moveaxis(e_up, ax, 0)
-            m0 = _interleave_axis0(
-                m0, jnp.zeros((m0.shape[0] - 1,) + m0.shape[1:], bool)
-            )
-            e_up = jnp.moveaxis(m0, 0, ax)
+        if nodedup:
+            e_up = None
+        else:
+            e_up = exact
+            for ax in range(3):
+                m0 = jnp.moveaxis(e_up, ax, 0)
+                m0 = _interleave_axis0(
+                    m0, jnp.zeros((m0.shape[0] - 1,) + m0.shape[1:], bool)
+                )
+                e_up = jnp.moveaxis(m0, 0, ax)
         res = res * 2
         n = res + 1
-        cap = min(refine_cap_factor * n * n, n * n * n)
+        big = n * n * n
+        cap = min(refine_cap_factor * n * n, big)
 
-        if variant == "nodedup":
+        if nodedup:
             flat_mask = fine_mask.reshape(-1)
         else:
             flat_mask = (fine_mask & ~e_up).reshape(-1)
-        closeness = -jnp.abs(v_up.reshape(-1) - threshold)
-        score = jnp.where(flat_mask, closeness, -jnp.inf)
-        if variant == "notopk":
-            # same output shapes/dtypes, no sort; data dependence on the
-            # score kept via one scalar so nothing constant-folds
-            top_idx = jnp.arange(cap, dtype=jnp.int32) + (
-                jnp.max(score[:1]).astype(jnp.int32) * 0
-            )
-            top_score = score[:cap]
+        if packsort:
+            iota = jnp.arange(big, dtype=jnp.int32)
+            key = jnp.where(flat_mask, iota, jnp.int32(big))
+            top_idx = jax.lax.sort(key)[:cap]
+            selected = top_idx < big
+            idx_c = jnp.minimum(top_idx, big - 1)
         else:
-            top_score, top_idx = jax.lax.top_k(score, cap)
-        ii = top_idx // (n * n)
-        jj = (top_idx // n) % n
-        kk = top_idx % n
+            closeness = -jnp.abs(v_up.reshape(-1) - threshold)
+            score = jnp.where(flat_mask, closeness, -jnp.inf)
+            if variant == "notopk":
+                # same output shapes/dtypes, no sort; data dependence on
+                # the score kept via one scalar so nothing constant-folds
+                top_idx = jnp.arange(cap, dtype=jnp.int32) + (
+                    jnp.max(score[:1]).astype(jnp.int32) * 0
+                )
+                top_score = score[:cap]
+            else:
+                top_score, top_idx = jax.lax.top_k(score, cap)
+            selected = jnp.isfinite(top_score)
+            idx_c = top_idx
+        ii = idx_c // (n * n)
+        jj = (idx_c // n) % n
+        kk = idx_c % n
         pts = (
             jnp.stack([ii, jj, kk], axis=-1).astype(jnp.float32) / res - 0.5
         ) * box_size
@@ -126,7 +155,9 @@ def hier_variant(
                 [lin % n, (lin / n) % n, lin / (n * n)], axis=-1
             ) / res - 0.5
         vals = _chunked_eval(dec_ref, pts, chunk_size)
-        selected = jnp.isfinite(top_score)
+        idx_sel = jnp.where(
+            selected, idx_c, big + jnp.arange(cap, dtype=idx_c.dtype)
+        )
         if variant == "noscatter":
             values = v_up + 1e-20 * jnp.sum(vals)
             exact = e_up
@@ -142,25 +173,29 @@ def hier_variant(
                 .set(selected | e_up.reshape(-1)[top_idx])
                 .reshape(n, n, n)
             )
-        else:
-            idx_sel = jnp.where(
-                selected,
-                top_idx,
-                n * n * n + jnp.arange(cap, dtype=top_idx.dtype),
+        elif hostfinal and last:
+            # final merge happens on the host: the device emits the
+            # upsampled grid + (idx, vals); keep a data dependence so
+            # neither is DCE'd
+            values = v_up
+            extra = extra + 1e-20 * (
+                jnp.sum(vals) + jnp.sum(idx_sel.astype(jnp.float32))
             )
+        else:
             values = (
                 v_up.reshape(-1)
                 .at[idx_sel]
                 .set(vals, mode="drop", unique_indices=True)
                 .reshape(n, n, n)
             )
-            exact = (
-                e_up.reshape(-1)
-                .at[idx_sel]
-                .set(True, mode="drop", unique_indices=True)
-                .reshape(n, n, n)
-            )
-    return values
+            if not nodedup:
+                exact = (
+                    e_up.reshape(-1)
+                    .at[idx_sel]
+                    .set(True, mode="drop", unique_indices=True)
+                    .reshape(n, n, n)
+                )
+    return values + extra
 
 
 def main():
@@ -183,6 +218,9 @@ def main():
             "nodedup",
             "notopk",
             "oldscatter",
+            "packsort",
+            "ps_nodedup",
+            "ps_nd_hostfinal",
         ],
     )
     args = ap.parse_args()
