@@ -37,6 +37,11 @@ class MeshExtractorConfig:
     points_batch_size: int = 65536
     use_hierarchical: bool = True
     refine_cap_factor: int = 24
+    # Active-point compaction: "packsort" (int32 key sort, identical
+    # selection while the cap has headroom) or "topk" (f32 closeness
+    # priority under overflow). See recon/grid.hierarchical_grid_values.
+    select_mode: str = "packsort"
+    dedup: bool = True
     # Gradient-based vertex refinement (mesh_extractor2.py:245-302);
     # 0 in every reference config, but part of the reference surface.
     refinement_step: int = 0
@@ -103,6 +108,8 @@ class MeshExtractor:
                 return_stats=True,
                 mesh=mesh,
                 shard_axis=self.shard_axis,
+                select_mode=cfg.select_mode,
+                dedup=cfg.dedup,
             )
             return values, stats["overflow"]
         values = dense_grid_values(

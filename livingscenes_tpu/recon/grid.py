@@ -152,6 +152,8 @@ def batched_hierarchical_grid_values(
     chunk_size: int = 65536,
     refine_cap_factor: int = 24,
     dtype=jnp.float32,
+    select_mode: str = "packsort",
+    dedup: bool = True,
 ):
     """Coarse-to-fine value grids for a BATCH of instances in one program.
 
@@ -178,6 +180,8 @@ def batched_hierarchical_grid_values(
             refine_cap_factor=refine_cap_factor,
             dtype=dtype,
             return_stats=True,
+            select_mode=select_mode,
+            dedup=dedup,
         )
         return values, stats["overflow"]
 
@@ -272,80 +276,115 @@ def hierarchical_grid_values(
     return_stats: bool = False,
     mesh=None,
     shard_axis: str = "qp",
+    select_mode: str = "packsort",
+    dedup: bool = True,
 ):
     """Coarse-to-fine grid evaluation (MISE-equivalent, fixed shapes).
 
     Returns the (res_final+1)^3 value grid, res_final = res0 * 2^steps.
     `refine_cap_factor * (res+1)^2` bounds the refined points per level —
-    generous for closed surfaces (whose active set grows as O(res^2)). If
-    the active set ever exceeds the cap, the points whose interpolated
-    value is closest to the threshold win, so accuracy degrades from the
-    far field inward rather than at the surface.
+    generous for closed surfaces (whose active set grows as O(res^2);
+    scripts/measure_recon.py --counts measured max 16.3 on
+    trained-checkpoint shapes).
+
+    `select_mode` picks how the ≤cap active fine points are compacted:
+
+    * "packsort" (default): one int32 key sort — key = lattice index
+      where active else n^3, `lax.sort`, keep the first `cap`. Selects
+      the identical point SET as the closeness top_k whenever the cap
+      does not bind (proven bit-equal, scripts/check_grid_variants.py),
+      at roughly half the sort traffic (no f32 score tensor, no carried
+      index payload). Under overflow, drops follow lattice order.
+    * "topk": f32 closeness-to-threshold `top_k` — under overflow the
+      points nearest the surface win, so accuracy degrades from the far
+      field inward. Use when codes may be pathological/noisy and the
+      cap is expected to bind (the `overflow` stat reports it either
+      way).
 
     With `return_stats=True` also returns {"overflow": (steps,) int array}
     — the number of active fine points *dropped* past the cap per level
     (0 everywhere means the cap never bit; a pathological/noisy code is
     visible instead of silently producing a degraded mesh).
     """
+    if select_mode not in ("packsort", "topk"):
+        raise ValueError(f"unknown select_mode {select_mode!r}")
     values = dense_grid_values(
         decode, resolution0, box_size, chunk_size, dtype, mesh, shard_axis
     )
     res = resolution0
-    # Exact-value tracking: every level-0 corner is a true decode; after
-    # each refinement the selected points become exact too. A fine point
-    # whose value is already exact never needs re-evaluation (decode is
-    # deterministic), so it is excluded from the refine budget — for a
-    # typical surface that removes the ~1/8 of active fine points that
-    # sit on the coarser lattice. Output is bit-identical while the cap
-    # doesn't bind (the skipped evaluation would have rewritten the same
-    # number); under overflow it is strictly better (every cap slot now
-    # buys a NEW evaluation instead of re-deriving a known value).
-    exact = jnp.ones_like(values, dtype=bool)
+    # Exact-value tracking (dedup=True): every level-0 corner is a true
+    # decode; after each refinement the selected points become exact too.
+    # A fine point whose value is already exact never needs re-evaluation
+    # (decode is deterministic), so it is excluded from the refine budget
+    # — for a typical surface that removes the ~1/8 of active fine points
+    # that sit on the coarser lattice, lowering the cap_factor a shape
+    # needs by ~2. Output is bit-identical while the cap doesn't bind
+    # (the skipped evaluation would have rewritten the same number, up to
+    # chunk-shape fusion noise ~1 ulp); under overflow it is strictly
+    # better (every cap slot buys a NEW evaluation instead of re-deriving
+    # a known value). dedup=False skips the tracking machinery (an extra
+    # bool upsample + scatter per level) and simply re-decodes lattice
+    # points — cheaper per level when the cap has headroom anyway.
+    exact = jnp.ones_like(values, dtype=bool) if dedup else None
     overflow = []
     active_counts = []
     for _ in range(upsampling_steps):
         active = _active_cells(values, threshold)
         fine_mask = _points_touching_active(active)
         v_up = _double_resolution(values)
-        # exact mask on the doubled lattice: true at even-even-even
-        # points only (interleave with False planes; no strided scatter)
-        e_up = exact
-        for ax in range(3):
-            m0 = jnp.moveaxis(e_up, ax, 0)
-            m0 = _interleave_axis0(
-                m0, jnp.zeros((m0.shape[0] - 1,) + m0.shape[1:], bool)
-            )
-            e_up = jnp.moveaxis(m0, 0, ax)
+        if dedup:
+            # exact mask on the doubled lattice: true at even-even-even
+            # points only (interleave with False planes; no strided
+            # scatter)
+            e_up = exact
+            for ax in range(3):
+                m0 = jnp.moveaxis(e_up, ax, 0)
+                m0 = _interleave_axis0(
+                    m0, jnp.zeros((m0.shape[0] - 1,) + m0.shape[1:], bool)
+                )
+                e_up = jnp.moveaxis(m0, 0, ax)
         res = res * 2
         n = res + 1
-        cap = min(refine_cap_factor * n * n, n * n * n)
+        big = n * n * n
+        cap = min(refine_cap_factor * n * n, big)
 
-        flat_mask = (fine_mask & ~e_up).reshape(-1)
+        if dedup:
+            flat_mask = (fine_mask & ~e_up).reshape(-1)
+        else:
+            flat_mask = fine_mask.reshape(-1)
         n_active = jnp.sum(flat_mask.astype(jnp.int32))
         active_counts.append(n_active)
         overflow.append(jnp.maximum(n_active - cap, 0))
-        closeness = -jnp.abs(v_up.reshape(-1) - threshold)
-        score = jnp.where(flat_mask, closeness, -jnp.inf)
-        top_score, top_idx = jax.lax.top_k(score, cap)
+        if select_mode == "packsort":
+            iota = jnp.arange(big, dtype=jnp.int32)
+            key = jnp.where(flat_mask, iota, jnp.int32(big))
+            top_idx = jax.lax.sort(key)[:cap]
+            selected = top_idx < big
+            idx_c = jnp.minimum(top_idx, big - 1)
+        else:
+            closeness = -jnp.abs(v_up.reshape(-1) - threshold)
+            score = jnp.where(flat_mask, closeness, -jnp.inf)
+            top_score, top_idx = jax.lax.top_k(score, cap)
+            selected = jnp.isfinite(top_score)
+            idx_c = top_idx
         # Coordinates of the selected fine points.
-        ii = top_idx // (n * n)
-        jj = (top_idx // n) % n
-        kk = top_idx % n
+        ii = idx_c // (n * n)
+        jj = (idx_c // n) % n
+        kk = idx_c % n
         pts = (
             jnp.stack([ii, jj, kk], axis=-1).astype(dtype) / res - 0.5
         ) * box_size
         vals = _eval_points(decode, pts, chunk_size, mesh, shard_axis)
-        selected = jnp.isfinite(top_score)
-        # Scatter the refined values back. top_k indices are unique by
-        # construction; slots past n_active (score -inf) are routed to
-        # unique out-of-bounds sentinels and dropped, so the scatter
-        # carries both XLA fast-path promises (unique_indices +
-        # promise-free drop mode) instead of the general duplicate-safe
-        # lowering — on a v5e chip the general scatter pair cost ~190 ms
-        # of the production grid eval (scripts/probe_recon_penalty.py);
-        # this form also removes the flat[top_idx] fallback gather.
+        # Scatter the refined values back. Selected indices are unique by
+        # construction; slots past n_active are routed to unique
+        # out-of-bounds sentinels and dropped, so the scatter carries
+        # both XLA fast-path promises (unique_indices + promise-free
+        # drop mode) instead of the general duplicate-safe lowering — on
+        # a v5e chip the general scatter pair cost ~190 ms of the
+        # production grid eval (scripts/probe_recon_penalty.py); this
+        # form also removes the flat[top_idx] fallback gather.
         idx_sel = jnp.where(
-            selected, top_idx, n * n * n + jnp.arange(cap, dtype=top_idx.dtype)
+            selected, idx_c, big + jnp.arange(cap, dtype=idx_c.dtype)
         )
         values = (
             v_up.reshape(-1)
@@ -353,12 +392,13 @@ def hierarchical_grid_values(
             .set(vals, mode="drop", unique_indices=True)
             .reshape(n, n, n)
         )
-        exact = (
-            e_up.reshape(-1)
-            .at[idx_sel]
-            .set(True, mode="drop", unique_indices=True)
-            .reshape(n, n, n)
-        )
+        if dedup:
+            exact = (
+                e_up.reshape(-1)
+                .at[idx_sel]
+                .set(True, mode="drop", unique_indices=True)
+                .reshape(n, n, n)
+            )
     if return_stats:
         stats = {
             "overflow": (

@@ -58,6 +58,12 @@ class PipelineConfig:
     recon_threshold: float = 0.5
     recon_box_size: float = 1.1
     recon_cap_factor: int = 24
+    # Active-point compaction for the grid refine levels; see
+    # recon/grid.hierarchical_grid_values (packsort selects the
+    # identical point set while the cap has headroom, at about half the
+    # device sort cost).
+    recon_select_mode: str = "packsort"
+    recon_dedup: bool = True
     # Per-instance query chunk for the batched grid decode. Sized so the
     # widest decoder activation (chunk x B_instances x 768) stays well
     # under HBM when all instances of all local scenes decode at once.
@@ -164,6 +170,8 @@ def build_scene_pair_pipeline(
                 box_size=cfg.recon_box_size,
                 chunk_size=cfg.recon_chunk,
                 refine_cap_factor=cfg.recon_cap_factor,
+                select_mode=cfg.recon_select_mode,
+                dedup=cfg.recon_dedup,
             )
             n = grids.shape[-1]
             out["grids"] = grids.reshape(S, O, n, n, n)

@@ -92,6 +92,12 @@ def main():
     ap.add_argument("--stage", default="full",
                     choices=["full", "dense0", "decode", "select"])
     ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--select", default="packsort",
+                    choices=["packsort", "topk"])
+    ap.add_argument("--no-dedup", dest="dedup", action="store_false",
+                    help="skip exact-value tracking (counts mode: report "
+                         "the larger no-dedup active set the cap must "
+                         "cover)")
     ap.add_argument("--accuracy", action="store_true",
                     help="f32 vs bf16 grid -> mesh chamfer on a trained ckpt")
     ap.add_argument("--counts", action="store_true",
@@ -145,6 +151,8 @@ def main():
                 box_size=1.1,
                 chunk_size=args.chunk,
                 refine_cap_factor=args.cap,
+                select_mode=args.select,
+                dedup=args.dedup,
             )
             return c + jnp.sum(values[:, ::64, ::64, ::64]), None
 
@@ -224,6 +232,7 @@ def active_counts(args):
             # generous cap so the counts themselves are exact
             refine_cap_factor=10 * args.cap,
             return_stats=True,
+            dedup=args.dedup,
         )
         return stats["n_active"]
 

@@ -56,6 +56,58 @@ def test_hierarchical_matches_dense_near_surface():
     np.testing.assert_array_equal(h > 0, d > 0)
 
 
+def test_select_modes_and_dedup_agree():
+    """packsort (production) selects the identical point set as the
+    closeness top_k while the cap has headroom — grids bit-equal; the
+    no-dedup form re-decodes coarse-lattice points through a different
+    chunk shape, equal to fp fusion noise (~1 ulp)."""
+    kw = dict(
+        resolution0=8, upsampling_steps=2, threshold=0.0, box_size=1.1
+    )
+    ref = hierarchical_grid_values(sphere_logits, select_mode="topk", **kw)
+    pack = hierarchical_grid_values(
+        sphere_logits, select_mode="packsort", **kw
+    )
+    np.testing.assert_array_equal(np.asarray(pack), np.asarray(ref))
+    nd = hierarchical_grid_values(
+        sphere_logits, select_mode="packsort", dedup=False, **kw
+    )
+    np.testing.assert_allclose(
+        np.asarray(nd), np.asarray(ref), rtol=0, atol=3e-7
+    )
+    with pytest.raises(ValueError):
+        hierarchical_grid_values(sphere_logits, select_mode="bogus", **kw)
+
+
+def test_select_modes_diverge_only_under_overflow():
+    """With a binding cap the two modes may pick different survivors —
+    but both must still report the same overflow count and keep the
+    sign structure of the sphere away from the dropped band."""
+    kw = dict(
+        resolution0=8,
+        upsampling_steps=1,
+        threshold=0.0,
+        box_size=1.1,
+        refine_cap_factor=2,  # far below the sphere's active count
+        return_stats=True,
+    )
+    v_t, s_t = hierarchical_grid_values(
+        sphere_logits, select_mode="topk", **kw
+    )
+    v_p, s_p = hierarchical_grid_values(
+        sphere_logits, select_mode="packsort", **kw
+    )
+    np.testing.assert_array_equal(
+        np.asarray(s_t["overflow"]), np.asarray(s_p["overflow"])
+    )
+    assert int(s_t["overflow"][0]) > 0
+    dense = dense_grid_values(sphere_logits, resolution=16, box_size=1.1)
+    for v in (v_t, v_p):
+        np.testing.assert_array_equal(
+            np.asarray(v) > 0, np.asarray(dense) > 0
+        )
+
+
 def test_extractor_sphere_geometry():
     cfg = MeshExtractorConfig(
         resolution0=16, upsampling_steps=1, simplify_nfaces=None
