@@ -36,7 +36,7 @@ class MeshExtractorConfig:
     simplify_nfaces: Optional[int] = 5000
     points_batch_size: int = 65536
     use_hierarchical: bool = True
-    refine_cap_factor: int = 24
+    refine_cap_factor: int = 20
     # Active-point compaction: "packsort" (int32 key sort, identical
     # selection while the cap has headroom) or "topk" (f32 closeness
     # priority under overflow). See recon/grid.hierarchical_grid_values.

@@ -150,10 +150,11 @@ def batched_hierarchical_grid_values(
     threshold: float = 0.0,
     box_size: float = 1.1,
     chunk_size: int = 65536,
-    refine_cap_factor: int = 24,
+    refine_cap_factor: int = 20,
     dtype=jnp.float32,
     select_mode: str = "packsort",
     dedup: bool = True,
+    final_merge: str = "device",
 ):
     """Coarse-to-fine value grids for a BATCH of instances in one program.
 
@@ -165,6 +166,10 @@ def batched_hierarchical_grid_values(
     pipeline's reconstruction stage runs for every matched instance of
     every scene pair at once (replacing the reference's per-instance MISE
     loop, mesh_extractor2.py:109-125).
+
+    With `final_merge="host"` returns (values, overflow, final_idx
+    (B, cap), final_vals (B, cap)); callers apply `apply_final_merge`
+    per instance on the host (extract_scene_meshes does).
     """
 
     def one(codes_i):
@@ -182,7 +187,11 @@ def batched_hierarchical_grid_values(
             return_stats=True,
             select_mode=select_mode,
             dedup=dedup,
+            final_merge=final_merge,
         )
+        if final_merge == "host":
+            return (values, stats["overflow"], stats["final_idx"],
+                    stats["final_vals"])
         return values, stats["overflow"]
 
     return jax.vmap(one)(codes)
@@ -271,21 +280,25 @@ def hierarchical_grid_values(
     threshold: float = 0.0,
     box_size: float = 1.1,
     chunk_size: int = 65536,
-    refine_cap_factor: int = 24,
+    refine_cap_factor: int = 20,
     dtype=jnp.float32,
     return_stats: bool = False,
     mesh=None,
     shard_axis: str = "qp",
     select_mode: str = "packsort",
     dedup: bool = True,
+    final_merge: str = "device",
 ):
     """Coarse-to-fine grid evaluation (MISE-equivalent, fixed shapes).
 
     Returns the (res_final+1)^3 value grid, res_final = res0 * 2^steps.
     `refine_cap_factor * (res+1)^2` bounds the refined points per level —
-    generous for closed surfaces (whose active set grows as O(res^2);
-    scripts/measure_recon.py --counts measured max 16.3 on
-    trained-checkpoint shapes).
+    the refine decode pays exactly cap queries/level whatever the
+    content, so the factor is sized from measurement:
+    scripts/measure_recon.py --counts over 64 trained-checkpoint shapes
+    saw max 17.5 (median ~12.3), so the default 20 carries a 14% margin.
+    Overflow is observable (see return_stats); raise the factor for
+    content families wilder than closed object surfaces.
 
     `select_mode` picks how the ≤cap active fine points are compacted:
 
@@ -305,9 +318,23 @@ def hierarchical_grid_values(
     — the number of active fine points *dropped* past the cap per level
     (0 everywhere means the cap never bit; a pathological/noisy code is
     visible instead of silently producing a degraded mesh).
+
+    `final_merge="host"` skips the LAST level's scatter back into the
+    (res+1)^3 grid on device — the single largest non-decode op of the
+    program (~63 ms of a 16-instance batch on a v5e chip) — and instead
+    returns the trilinearly-upsampled grid plus stats["final_idx"] /
+    stats["final_vals"]; the caller applies `flat[idx[idx < n^3]] =
+    vals[idx < n^3]` on the host (a ~ms numpy fancy-index; the grid is
+    pulled to the host for isosurface extraction anyway, see
+    extract_scene_meshes). Requires return_stats=True.
     """
     if select_mode not in ("packsort", "topk"):
         raise ValueError(f"unknown select_mode {select_mode!r}")
+    if final_merge not in ("device", "host"):
+        raise ValueError(f"unknown final_merge {final_merge!r}")
+    if final_merge == "host" and not return_stats:
+        raise ValueError("final_merge='host' requires return_stats=True "
+                         "(the merge payload travels in stats)")
     values = dense_grid_values(
         decode, resolution0, box_size, chunk_size, dtype, mesh, shard_axis
     )
@@ -328,7 +355,9 @@ def hierarchical_grid_values(
     exact = jnp.ones_like(values, dtype=bool) if dedup else None
     overflow = []
     active_counts = []
-    for _ in range(upsampling_steps):
+    final_idx = final_vals = None
+    for step in range(upsampling_steps):
+        last = step == upsampling_steps - 1
         active = _active_cells(values, threshold)
         fine_mask = _points_touching_active(active)
         v_up = _double_resolution(values)
@@ -386,6 +415,10 @@ def hierarchical_grid_values(
         idx_sel = jnp.where(
             selected, idx_c, big + jnp.arange(cap, dtype=idx_c.dtype)
         )
+        if final_merge == "host" and last:
+            values = v_up
+            final_idx, final_vals = idx_sel, vals
+            break
         values = (
             v_up.reshape(-1)
             .at[idx_sel]
@@ -418,5 +451,23 @@ def hierarchical_grid_values(
                 else jnp.zeros((0,), jnp.int32)
             ),
         }
+        if final_idx is not None:
+            stats["final_idx"] = final_idx
+            stats["final_vals"] = final_vals
         return values, stats
     return values
+
+
+def apply_final_merge(grid, final_idx, final_vals):
+    """Host side of final_merge='host': scatter the last level's refined
+    values into the (n,n,n) numpy grid. Unselected slots carry indices
+    >= n^3 and are dropped — the exact semantics of the device scatter's
+    drop mode."""
+    import numpy as np
+
+    flat = np.asarray(grid).reshape(-1).copy()
+    idx = np.asarray(final_idx)
+    vals = np.asarray(final_vals)
+    m = idx < flat.size
+    flat[idx[m]] = vals[m]
+    return flat.reshape(grid.shape)

@@ -57,13 +57,20 @@ class PipelineConfig:
     recon_upsampling_steps: int = 2  # configs/more_3rscan.yaml:23
     recon_threshold: float = 0.5
     recon_box_size: float = 1.1
-    recon_cap_factor: int = 24
+    recon_cap_factor: int = 20
     # Active-point compaction for the grid refine levels; see
     # recon/grid.hierarchical_grid_values (packsort selects the
     # identical point set while the cap has headroom, at about half the
     # device sort cost).
     recon_select_mode: str = "packsort"
     recon_dedup: bool = True
+    # "host": the final refine level's values travel as (idx, vals) and
+    # are merged into the grid by extract_scene_meshes (a ~ms numpy
+    # fancy-index) instead of a device scatter — the largest non-decode
+    # op of the recon program (~63 ms/batch on a v5e chip). The grids
+    # output is then the UNMERGED trilinear upsample; anything consuming
+    # out["grids"] directly must apply apply_final_merge first.
+    recon_final_merge: str = "device"
     # Per-instance query chunk for the batched grid decode. Sized so the
     # widest decoder activation (chunk x B_instances x 768) stays well
     # under HBM when all instances of all local scenes decode at once.
@@ -159,7 +166,7 @@ def build_scene_pair_pipeline(
             thr = cfg.recon_threshold
             logit_thr = math.log(thr) - math.log(1.0 - thr)
             mm_dtype = jnp.bfloat16 if cfg.recon_bf16 else None
-            grids, overflow = batched_hierarchical_grid_values(
+            res = batched_hierarchical_grid_values(
                 lambda q, c: model.occupancy_logits(
                     params, q, c, matmul_dtype=mm_dtype
                 ),
@@ -172,10 +179,15 @@ def build_scene_pair_pipeline(
                 refine_cap_factor=cfg.recon_cap_factor,
                 select_mode=cfg.recon_select_mode,
                 dedup=cfg.recon_dedup,
+                final_merge=cfg.recon_final_merge,
             )
+            grids, overflow = res[0], res[1]
             n = grids.shape[-1]
             out["grids"] = grids.reshape(S, O, n, n, n)
             out["grid_overflow"] = overflow.reshape(S, O, -1)
+            if cfg.recon_final_merge == "host":
+                out["grid_fidx"] = res[2].reshape(S, O, -1)
+                out["grid_fvals"] = res[3].reshape(S, O, -1)
             out["recon_s"] = transported["s"].reshape(S, O)
             out["recon_t"] = transported["t"].reshape(S, O, 3)
         return out
@@ -228,6 +240,8 @@ def extract_scene_meshes(
     grids = np.asarray(out["grids"])
     s = np.asarray(out["recon_s"])
     t = np.asarray(out["recon_t"])
+    fidx = np.asarray(out["grid_fidx"]) if "grid_fidx" in out else None
+    fvals = np.asarray(out["grid_fvals"]) if "grid_fvals" in out else None
     S, O = matches.shape
 
     def one(ij):
@@ -236,7 +250,12 @@ def extract_scene_meshes(
             return None, None
         stats: Optional[dict] = {} if with_stats else None
         t0 = time.perf_counter()
-        mesh = extract_mesh_from_grid(grids[i, j], cfg, stats=stats)
+        grid = grids[i, j]
+        if fidx is not None:
+            from ..recon.grid import apply_final_merge
+
+            grid = apply_final_merge(grid, fidx[i, j], fvals[i, j])
+        mesh = extract_mesh_from_grid(grid, cfg, stats=stats)
         if not mesh.is_empty:
             mesh.apply_scale_translation(float(s[i, j]), t[i, j].reshape(3))
         if stats is not None:

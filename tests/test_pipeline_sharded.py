@@ -181,6 +181,53 @@ def test_extract_scene_meshes_shapes(setup):
                 assert hasattr(meshes[i][j], "vertices")
 
 
+def test_pipeline_host_final_merge_matches_device(setup):
+    """recon_final_merge='host': the pipeline ships the last refine
+    level as (idx, vals) and extract_scene_meshes applies it — identical
+    meshes to the device-merged program (the grids output itself differs:
+    it is the pre-merge trilinear upsample)."""
+    from livingscenes_tpu.recon.extractor import MeshExtractorConfig
+    from livingscenes_tpu.recon.grid import apply_final_merge
+    from livingscenes_tpu.solver.pipeline import extract_scene_meshes
+
+    model, params, ref, rescan = setup
+    base = dict(
+        registration=RegistrationConfig(use_icp=False),
+        recon=True,
+        recon_resolution0=8,
+        recon_upsampling_steps=1,
+        recon_chunk=512,
+    )
+    out_dev = build_scene_pair_pipeline(
+        model, PipelineConfig(**base)
+    )(params, ref[:2], rescan[:2])
+    out_host = build_scene_pair_pipeline(
+        model, PipelineConfig(**base, recon_final_merge="host")
+    )(params, ref[:2], rescan[:2])
+    # merged grids equal the device-scattered grids bit-for-bit
+    g_host = np.asarray(out_host["grids"])
+    fidx = np.asarray(out_host["grid_fidx"])
+    fvals = np.asarray(out_host["grid_fvals"])
+    for i in range(2):
+        for j in range(O):
+            merged = apply_final_merge(g_host[i, j], fidx[i, j], fvals[i, j])
+            np.testing.assert_array_equal(
+                merged, np.asarray(out_dev["grids"][i, j])
+            )
+    mcfg = MeshExtractorConfig(
+        resolution0=8, upsampling_steps=1, simplify_nfaces=None
+    )
+    meshes_dev = extract_scene_meshes(out_dev, mcfg)
+    meshes_host = extract_scene_meshes(out_host, mcfg)
+    for md_row, mh_row in zip(meshes_dev, meshes_host):
+        for md, mh in zip(md_row, mh_row):
+            assert (md is None) == (mh is None)
+            if md is not None:
+                np.testing.assert_array_equal(
+                    np.asarray(md.vertices), np.asarray(mh.vertices)
+                )
+
+
 def test_sharded_grid_values_match_dense():
     """Query-point ("qp") sharded SDF grid evaluation == the single-device
     dense grid (the multi-chip form of the reference's chunked decoder

@@ -79,6 +79,28 @@ def test_select_modes_and_dedup_agree():
         hierarchical_grid_values(sphere_logits, select_mode="bogus", **kw)
 
 
+def test_host_final_merge_equals_device_merge():
+    """final_merge='host' + apply_final_merge reproduces the device
+    scatter bit-for-bit (same idx/vals, same drop semantics)."""
+    from livingscenes_tpu.recon.grid import apply_final_merge
+
+    kw = dict(
+        resolution0=8, upsampling_steps=2, threshold=0.0, box_size=1.1
+    )
+    dev = hierarchical_grid_values(sphere_logits, **kw)
+    host_grid, stats = hierarchical_grid_values(
+        sphere_logits, final_merge="host", return_stats=True, **kw
+    )
+    merged = apply_final_merge(
+        np.asarray(host_grid), stats["final_idx"], stats["final_vals"]
+    )
+    np.testing.assert_array_equal(merged, np.asarray(dev))
+    with pytest.raises(ValueError):
+        hierarchical_grid_values(sphere_logits, final_merge="host", **kw)
+    with pytest.raises(ValueError):
+        hierarchical_grid_values(sphere_logits, final_merge="bogus", **kw)
+
+
 def test_select_modes_diverge_only_under_overflow():
     """With a binding cap the two modes may pick different survivors —
     but both must still report the same overflow count and keep the
