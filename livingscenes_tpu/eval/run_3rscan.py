@@ -55,13 +55,26 @@ def verify_conversion(ckpt_path: str) -> int:
     raw = torch.load(ckpt_path, map_location="cpu", weights_only=False)
     sd = raw.get("model_state_dict", raw)
     sd = {k.replace("module.", ""): v for k, v in sd.items()}
+    # Bit-exact and key-complete in BOTH directions: a tensor the
+    # converter silently drops (present in sd, never re-exported) is a
+    # conversion bug, not a pass. Buffers that carry no weights
+    # (num_batches_tracked counters) are the only tolerated difference.
+    dropped = sorted(
+        k for k in sd
+        if k not in back and not k.endswith("num_batches_tracked")
+    )
+    extra = sorted(k for k in back if k not in sd)
+    if dropped or extra:
+        raise RuntimeError(
+            "conversion round-trip key mismatch: "
+            f"dropped from re-export {dropped[:8]}{'…' if len(dropped) > 8 else ''}, "
+            f"not in source {extra[:8]}{'…' if len(extra) > 8 else ''}"
+        )
     n_checked = 0
     for key, val in back.items():
-        if key not in sd:
-            continue
         src = np.asarray(sd[key].detach().cpu().numpy(), np.float32)
         got = np.asarray(val, np.float32)
-        if src.shape != got.shape or not np.allclose(src, got, atol=0):
+        if src.shape != got.shape or not np.array_equal(src, got):
             raise RuntimeError(
                 f"conversion round-trip mismatch at {key}: "
                 f"{src.shape} vs {got.shape}"
@@ -69,8 +82,8 @@ def verify_conversion(ckpt_path: str) -> int:
         n_checked += 1
     if n_checked == 0:
         raise RuntimeError("conversion round-trip checked 0 tensors")
-    log.info("checkpoint conversion verified: %d tensors round-trip",
-             n_checked)
+    log.info("checkpoint conversion verified: %d tensors round-trip"
+             " bit-exactly", n_checked)
     return n_checked
 
 
@@ -96,6 +109,9 @@ def parity_table(results: dict) -> str:
     for tag, key in (
         ("reloc (Kabsch+ICP)", "relocalization"),
         ("reloc (+400-step optim)", "relocalization_optim"),
+        ("reloc [NON-PARITY: symch ICP accept]", "relocalization_symch"),
+        ("reloc+optim [NON-PARITY: symch ICP accept]",
+         "relocalization_optim_symch"),
     ):
         r = results.get(key)
         if not r:
@@ -157,7 +173,13 @@ def main(argv=None):
     if args.parity:
         if args.parity.endswith(".pt"):
             verify_conversion(args.parity)
-        solver = load_solver(args.parity)
+        # Reference-faithful knobs (icp_accept="always" — the reference's
+        # unconditional ICP polish, more_solver.py:181-184) so the parity
+        # rows measure port fidelity, not this framework's improved
+        # per-instance acceptance. The improved default is reported as
+        # separate labeled rows below.
+        solver = load_solver(args.parity, parity=True)
+        solver_improved = load_solver(args.parity)
         tasks = ["matching", "reloc", "recon"]
     else:
         solver = load_solver(args.ckpt)
@@ -173,6 +195,15 @@ def main(argv=None):
             )
             results["relocalization_optim"] = eval_relocalization(
                 dataset, solver, optim=True
+            )
+            # Same loops under the production icp_accept="symch" default —
+            # labeled separately so the improvement never contaminates the
+            # side-by-side parity claim.
+            results["relocalization_symch"] = eval_relocalization(
+                dataset, solver_improved, optim=False
+            )
+            results["relocalization_optim_symch"] = eval_relocalization(
+                dataset, solver_improved, optim=True
             )
         else:
             results["relocalization"] = eval_relocalization(

@@ -335,6 +335,15 @@ def hierarchical_grid_values(
     if final_merge == "host" and not return_stats:
         raise ValueError("final_merge='host' requires return_stats=True "
                          "(the merge payload travels in stats)")
+    if final_merge == "host" and upsampling_steps == 0:
+        # There is no final refine level whose scatter could be deferred;
+        # silently returning a grid with no (final_idx, final_vals) would
+        # KeyError downstream (ADVICE r4) — refuse up front.
+        raise ValueError(
+            "final_merge='host' requires upsampling_steps >= 1 "
+            "(with 0 steps there is no refine scatter to defer; "
+            "use final_merge='device')"
+        )
     values = dense_grid_values(
         decode, resolution0, box_size, chunk_size, dtype, mesh, shard_axis
     )

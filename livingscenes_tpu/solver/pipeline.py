@@ -64,13 +64,18 @@ class PipelineConfig:
     # device sort cost).
     recon_select_mode: str = "packsort"
     recon_dedup: bool = True
-    # "host": the final refine level's values travel as (idx, vals) and
-    # are merged into the grid by extract_scene_meshes (a ~ms numpy
-    # fancy-index) instead of a device scatter — the largest non-decode
-    # op of the recon program (~63 ms/batch on a v5e chip). The grids
-    # output is then the UNMERGED trilinear upsample; anything consuming
-    # out["grids"] directly must apply apply_final_merge first.
-    recon_final_merge: str = "device"
+    # "host" (default — bit-equal to "device",
+    # tests/test_pipeline_sharded.py::test_final_merge_host_matches_device,
+    # and −63 ms/batch on a v5e chip): the final refine level's values
+    # travel as (idx, vals) and are merged into the grid by
+    # extract_scene_meshes (a ~ms numpy fancy-index) instead of a device
+    # scatter — the largest non-decode op of the recon program. The
+    # pipeline output then carries "grids_premerge" (the UNMERGED
+    # trilinear upsample) instead of "grids", so no consumer can silently
+    # read unmerged values; apply_final_merge(grids_premerge, fidx, fvals)
+    # produces the merged grid. "device" keeps the scatter in-program and
+    # outputs the ready "grids".
+    recon_final_merge: str = "host"
     # Per-instance query chunk for the batched grid decode. Sized so the
     # widest decoder activation (chunk x B_instances x 768) stays well
     # under HBM when all instances of all local scenes decode at once.
@@ -99,7 +104,11 @@ def build_scene_pair_pipeline(
         against partner 0; mask with matches0 >= 0)
       and, when cfg.recon:
       grids (S, O, n, n, n)  canonical-frame occupancy-logit grids of the
-        transported rescan codes (n = res0 * 2^steps + 1)
+        transported rescan codes (n = res0 * 2^steps + 1) — with the
+        default recon_final_merge="host" the key is instead
+        grids_premerge (+ grid_fidx, grid_fvals): the last refine level's
+        values are merged on host (extract_scene_meshes /
+        recon.grid.apply_final_merge)
       grid_overflow (S, O, steps), recon_s (S, O), recon_t (S, O, 3)
         scale/translation to re-apply to extracted meshes
         (more_solver.py:45-57).
@@ -109,6 +118,13 @@ def build_scene_pair_pipeline(
     input size. When `mesh` is given, S must be divisible by the mesh
     size; inputs are sharded on the scene axis and params replicated.
     """
+    # With no refine levels there is no final scatter to defer — the host
+    # merge degrades to the device path (identical semantics) instead of
+    # erroring (ADVICE r4).
+    final_merge = (
+        "device" if cfg.recon_upsampling_steps == 0
+        else cfg.recon_final_merge
+    )
 
     def pipeline(params, ref_pc: Array, rescan_pc: Array,
                  ref_mask: Optional[Array] = None,
@@ -179,15 +195,20 @@ def build_scene_pair_pipeline(
                 refine_cap_factor=cfg.recon_cap_factor,
                 select_mode=cfg.recon_select_mode,
                 dedup=cfg.recon_dedup,
-                final_merge=cfg.recon_final_merge,
+                final_merge=final_merge,
             )
             grids, overflow = res[0], res[1]
             n = grids.shape[-1]
-            out["grids"] = grids.reshape(S, O, n, n, n)
             out["grid_overflow"] = overflow.reshape(S, O, -1)
-            if cfg.recon_final_merge == "host":
+            if final_merge == "host":
+                # NOT "grids": the host merge is still pending and any
+                # consumer other than extract_scene_meshes would silently
+                # read wrong values near the surface (ADVICE r4).
+                out["grids_premerge"] = grids.reshape(S, O, n, n, n)
                 out["grid_fidx"] = res[2].reshape(S, O, -1)
                 out["grid_fvals"] = res[3].reshape(S, O, -1)
+            else:
+                out["grids"] = grids.reshape(S, O, n, n, n)
             out["recon_s"] = transported["s"].reshape(S, O)
             out["recon_t"] = transported["t"].reshape(S, O, 3)
         return out
@@ -227,6 +248,7 @@ def extract_scene_meshes(
     total_ms, empty} — the per-grid host-meshing observability VERDICT r3
     asks #1/#9 require.
     """
+    import logging
     import os
     import time
     from concurrent.futures import ThreadPoolExecutor
@@ -237,12 +259,28 @@ def extract_scene_meshes(
 
     cfg = extractor_config or MeshExtractorConfig()
     matches = np.asarray(out["matches0"])
-    grids = np.asarray(out["grids"])
+    grids = np.asarray(
+        out["grids_premerge"] if "grids_premerge" in out else out["grids"]
+    )
     s = np.asarray(out["recon_s"])
     t = np.asarray(out["recon_t"])
     fidx = np.asarray(out["grid_fidx"]) if "grid_fidx" in out else None
     fvals = np.asarray(out["grid_fvals"]) if "grid_fvals" in out else None
     S, O = matches.shape
+    overflow = np.asarray(out.get("grid_overflow", np.zeros((S, O, 0))))
+    if (overflow > 0).any():
+        # packsort's cap-overflow drop order is lattice order (spatially
+        # biased); surface quality degrades on the high-index side. Make
+        # it loud instead of relying on callers to inspect the stat
+        # (ADVICE r4) — raise recon_cap_factor or select_mode="topk".
+        bad = int((overflow.max(axis=-1) > 0).sum())
+        logging.getLogger(__name__).warning(
+            "grid refine cap overflowed on %d/%d instances "
+            "(max %d dropped points); meshes for those instances are "
+            "degraded — raise PipelineConfig.recon_cap_factor or use "
+            "recon_select_mode='topk'",
+            bad, S * O, int(overflow.max()),
+        )
 
     def one(ij):
         i, j = ij

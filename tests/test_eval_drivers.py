@@ -351,3 +351,81 @@ def test_parity_runbook_smoke(rescan_dir, solver, tmp_path):
     # every matching number in the table is a real value, not a dash
     first_line = table.splitlines()[1]
     assert "-" not in first_line.split(":", 1)[1]
+
+
+def test_parity_solver_pins_reference_knobs(tmp_path, solver):
+    """--parity must measure port fidelity: the solver it builds has to
+    run the reference's unconditional ICP polish (icp_accept="always",
+    more_solver.py:181-184), not the improved per-instance acceptance
+    that is the production default (ADVICE r4 medium)."""
+    import torch
+
+    from livingscenes_tpu.eval.run_flyingshape import load_solver
+    from livingscenes_tpu.models.convert import params_to_torch_state_dict
+
+    sd = {
+        k: torch.from_numpy(np.asarray(v, np.float32))
+        for k, v in params_to_torch_state_dict(solver.params).items()
+    }
+    pt_path = tmp_path / "parity_knobs.pt"
+    torch.save({"model_state_dict": sd}, pt_path)
+
+    # Parity mode: reference-faithful; production config must be the only
+    # place the improved default lives. (load_solver builds the
+    # production-size ShapePrior wrapper, but with a checkpoint given no
+    # params are initialized, so the tiny state dict loads cheaply.)
+    s_parity = load_solver(str(pt_path), parity=True)
+    s_default = load_solver(str(pt_path))
+    assert s_parity.cfg.registration.icp_accept == "always"
+    assert s_default.cfg.registration.icp_accept == "symch"
+
+
+def test_verify_conversion_rejects_dropped_and_lossy_tensors(
+    tmp_path, solver, monkeypatch
+):
+    """verify_conversion (ADVICE r4 low): a tensor present in the source
+    state dict but never re-exported must FAIL (silent converter drops),
+    and the value check is bit-exact — a lossy converter whose round-trip
+    error sits below np.allclose's default rtol=1e-5 must still FAIL."""
+    import pytest
+    import torch
+
+    from livingscenes_tpu.eval.run_3rscan import verify_conversion
+    from livingscenes_tpu.models.convert import params_to_torch_state_dict
+
+    base = {
+        k: torch.from_numpy(np.asarray(v, np.float32))
+        for k, v in params_to_torch_state_dict(solver.params).items()
+    }
+    p = tmp_path / "clean.pt"
+    torch.save({"model_state_dict": base}, p)
+    assert verify_conversion(str(p)) > 50
+
+    # extra tensor the converter will never produce back -> key mismatch
+    sd = dict(base)
+    sd["encoder.some_layer.ghost_weight"] = torch.zeros(3, 3)
+    p_drop = tmp_path / "dropped.pt"
+    torch.save({"model_state_dict": sd}, p_drop)
+    with pytest.raises(RuntimeError, match="key mismatch"):
+        verify_conversion(str(p_drop))
+
+    # simulate a lossy converter: the re-export perturbs one tensor by a
+    # relative 1e-6 — under np.allclose(rtol=1e-5) this would PASS, the
+    # bit-exact check must not
+    real_export = params_to_torch_state_dict
+
+    def lossy_export(params, *a, **k):
+        out = real_export(params, *a, **k)
+        key = next(k2 for k2, v in out.items() if np.asarray(v).size > 4)
+        arr = np.array(out[key], np.float32)
+        arr.flat[0] = arr.flat[0] * (1 + 1e-6) + 1e-30
+        out[key] = arr
+        return out
+
+    import livingscenes_tpu.models.convert as convert_mod
+
+    monkeypatch.setattr(
+        convert_mod, "params_to_torch_state_dict", lossy_export
+    )
+    with pytest.raises(RuntimeError, match="mismatch"):
+        verify_conversion(str(p))

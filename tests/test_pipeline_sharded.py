@@ -138,14 +138,18 @@ def test_full_end2end_sharded_matches_single_device(setup):
         np.asarray(out_single["matches0"]),
         np.asarray(out_sharded["matches0"]),
     )
-    for key in ("R", "t", "grids", "recon_s", "recon_t"):
+    # default recon_final_merge="host" ships the pre-merge grid + payload
+    for key in ("R", "t", "grids_premerge", "grid_fidx", "grid_fvals",
+                "recon_s", "recon_t"):
         np.testing.assert_allclose(
             np.asarray(out_single[key]),
             np.asarray(out_sharded[key]),
             atol=2e-5,
             err_msg=key,
         )
-    shard_devs = {s.device for s in out_sharded["grids"].addressable_shards}
+    shard_devs = {
+        s.device for s in out_sharded["grids_premerge"].addressable_shards
+    }
     assert len(shard_devs) == 8
 
 
@@ -199,13 +203,15 @@ def test_pipeline_host_final_merge_matches_device(setup):
         recon_chunk=512,
     )
     out_dev = build_scene_pair_pipeline(
-        model, PipelineConfig(**base)
+        model, PipelineConfig(**base, recon_final_merge="device")
     )(params, ref[:2], rescan[:2])
     out_host = build_scene_pair_pipeline(
         model, PipelineConfig(**base, recon_final_merge="host")
     )(params, ref[:2], rescan[:2])
-    # merged grids equal the device-scattered grids bit-for-bit
-    g_host = np.asarray(out_host["grids"])
+    # merged grids equal the device-scattered grids bit-for-bit; the
+    # pending merge is explicit in the key name (ADVICE r4)
+    assert "grids" not in out_host
+    g_host = np.asarray(out_host["grids_premerge"])
     fidx = np.asarray(out_host["grid_fidx"])
     fvals = np.asarray(out_host["grid_fvals"])
     for i in range(2):
