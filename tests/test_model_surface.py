@@ -239,3 +239,33 @@ def test_committed_plateau_checkpoint_loads_and_encodes(name):
     # trained (not random-init) weights: scale head calibrated near the
     # cloud's actual size rather than the raw top-5-distance init
     assert float(codes["s"][0]) > 0
+
+
+def test_decode_sdf_matmul_dtype_bf16_drift():
+    """decode_sdf(matmul_dtype=bfloat16) (models/shape_prior.py) casts
+    only the decoder MLP matmuls; the invariant-query geometry stays f32
+    and the output comes back as the query dtype. Drift vs the f32 path
+    must stay within bf16 rounding of the SDF scale (VERDICT r4 ask #7 —
+    this is the knob recon_bf16 / decoder_bf16 both route through)."""
+    cfg = ShapePriorConfig(**TINY)
+    model = ShapePrior(cfg)
+    params = model.init_params(jax.random.PRNGKey(0), n_points=64)
+    rng = np.random.default_rng(5)
+    pc = jnp.asarray(rng.normal(size=(2, 64, 3)) * 0.4, jnp.float32)
+    codes = model.encode(params, pc)
+    q = jnp.asarray(rng.uniform(-0.5, 0.5, (2, 256, 3)), jnp.float32)
+
+    sdf32 = model.decode_sdf(params, q, codes)
+    sdf16 = model.decode_sdf(params, q, codes, matmul_dtype=jnp.bfloat16)
+    assert sdf16.dtype == sdf32.dtype  # cast back to the query dtype
+    scale = float(jnp.std(sdf32)) + 1e-6
+    # 8 bf16 matmuls deep: worst case under ~10% of the field's dynamic
+    # range, typical well under 2% (the mesh-level consequence is bounded
+    # separately in tests/test_recon.py::test_bf16_grid_mesh_accuracy)
+    assert float(jnp.max(jnp.abs(sdf16 - sdf32))) < 0.10 * scale
+    assert float(jnp.mean(jnp.abs(sdf16 - sdf32))) < 0.02 * scale
+    # occupancy_logits threads the same knob
+    lo16 = model.occupancy_logits(params, q, codes, matmul_dtype=jnp.bfloat16)
+    np.testing.assert_allclose(
+        np.asarray(lo16), cfg.sdf2occ_factor * np.asarray(sdf16), rtol=1e-6
+    )

@@ -282,3 +282,83 @@ def test_isosurface_watertight_at_word_boundary_sizes():
         nrm = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
         outward = tri.mean(1) - (res - 1) / 2.0
         assert (np.einsum("ij,ij->i", nrm, outward) > 0).all(), res
+
+
+def test_bf16_grid_mesh_accuracy():
+    """recon_bf16 / occupancy_logits(matmul_dtype=bfloat16): the mesh
+    extracted from a bf16-decoded hierarchical grid must sit within a
+    fraction of a voxel of the f32 mesh, measured as symmetric chamfer on
+    the committed trained checkpoint's real fields (VERDICT r4 ask #7 —
+    the decision test scripts/measure_recon.py --accuracy cites; the
+    knob's throughput side is measured there)."""
+    import os
+
+    from livingscenes_tpu.eval.run_flyingshape import load_solver
+    from livingscenes_tpu.native.bindings import KDTree
+    from livingscenes_tpu.recon.extractor import (
+        MeshExtractorConfig,
+        extract_mesh_from_grid,
+    )
+    from livingscenes_tpu.recon.grid import batched_hierarchical_grid_values
+    from livingscenes_tpu.train.data import SyntheticShapeDataset
+
+    ckpt = os.path.join(
+        os.path.dirname(__file__), "..", "weights",
+        "plateau_r4_selected.ckpt",
+    )
+    if not os.path.exists(ckpt):
+        pytest.skip("committed checkpoint not present")
+    solver = load_solver(ckpt, fast=False)
+    model, params = solver.model, solver.params
+
+    ds = SyntheticShapeDataset(n_items=1, n_pcl=512)
+    rng = np.random.default_rng(21)
+    clouds = [
+        ds._surface_points(ds._shape_sdf(rng), rng, 512) for _ in range(2)
+    ]
+    codes = model.encode(params, jnp.asarray(np.stack(clouds), jnp.float32))
+    canonical = dict(
+        codes, s=jnp.ones_like(codes["s"]), t=jnp.zeros_like(codes["t"])
+    )
+
+    # 33^3 grids keep the CPU decode tractable; voxel-relative bound is
+    # resolution-independent
+    cfg = MeshExtractorConfig(
+        resolution0=16, upsampling_steps=1, simplify_nfaces=None
+    )
+    kw = dict(
+        resolution0=16,
+        upsampling_steps=1,
+        threshold=cfg.logit_threshold,
+        box_size=cfg.box_size,
+        chunk_size=4096,
+        refine_cap_factor=20,
+    )
+    mk = lambda mm: jax.jit(
+        lambda c: batched_hierarchical_grid_values(
+            lambda q, ci: model.occupancy_logits(
+                params, q, ci, matmul_dtype=mm
+            ),
+            c,
+            **kw,
+        )
+    )(canonical)[0]
+    g32 = np.asarray(mk(None), np.float32)
+    g16 = np.asarray(mk(jnp.bfloat16), np.float32)
+
+    voxel = cfg.box_size / cfg.final_resolution
+    n_ok = 0
+    for i in range(len(clouds)):
+        m32 = extract_mesh_from_grid(g32[i], cfg)
+        m16 = extract_mesh_from_grid(g16[i], cfg)
+        assert m32.is_empty == m16.is_empty
+        if m32.is_empty:
+            continue
+        a = m32.sample_surface(20000, seed=0).astype(np.float32)
+        b = m16.sample_surface(20000, seed=0).astype(np.float32)
+        ch = 0.5 * (
+            np.mean(KDTree(b).query(a)[0]) + np.mean(KDTree(a).query(b)[0])
+        )
+        assert ch < 0.5 * voxel, (i, ch, voxel)
+        n_ok += 1
+    assert n_ok >= 1, "trained-checkpoint shapes must produce meshes"

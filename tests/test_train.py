@@ -224,3 +224,46 @@ def test_logger_histogram(tmp_path):
     ]
     h = [r for r in recs if r.get("hist") == "residuals"][0]
     assert h["p50"] == 49.5 and h["p0"] == 0.0 and h["p100"] == 99.0
+
+
+def test_decoder_bf16_loss_drift(tmp_path):
+    """TrainLossConfig.decoder_bf16 (models/sim3recon.py) runs the decoder
+    matmuls in bfloat16 behind an f32 geometry/loss path. The knob must
+    (a) change only the decoder arithmetic — loss value within bf16
+    rounding of the f32 path — and (b) keep gradients finite and close in
+    direction (VERDICT r4 ask #7: no production knob without a test)."""
+    model32 = SIM3Recon(TINY, TrainLossConfig())
+    model16 = SIM3Recon(TINY, TrainLossConfig(decoder_bf16=True))
+    params = model32.init_params(jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(3)
+    B = 4
+    batch = {
+        "inputs": jnp.asarray(rng.normal(size=(B, 64, 3)), jnp.float32),
+        "points_uni": jnp.asarray(rng.normal(size=(B, 32, 3)), jnp.float32),
+        "points_uni_value": jnp.asarray(rng.normal(size=(B, 32)), jnp.float32),
+        "points_nss": jnp.asarray(rng.normal(size=(B, 32, 3)), jnp.float32),
+        "points_nss_value": jnp.asarray(rng.normal(size=(B, 32)), jnp.float32),
+    }
+
+    loss32, m32 = model32.loss(params, batch, train=False)
+    loss16, m16 = model16.loss(params, batch, train=False)
+    # |sdf| is O(1) after the smooth-L1 weighting; bf16 has ~3 significant
+    # digits, the MLP is 8 layers deep -> a few % drift is the honest bound
+    assert np.isfinite(float(loss16))
+    assert abs(float(loss16) - float(loss32)) < 0.05 * max(
+        abs(float(loss32)), 1e-3
+    )
+
+    g32 = jax.grad(lambda p: model32.loss(p, batch, train=False)[0])(params)
+    g16 = jax.grad(lambda p: model16.loss(p, batch, train=False)[0])(params)
+    flat32 = jnp.concatenate([x.ravel() for x in jax.tree.leaves(g32)])
+    flat16 = jnp.concatenate(
+        [x.astype(jnp.float32).ravel() for x in jax.tree.leaves(g16)]
+    )
+    assert bool(jnp.all(jnp.isfinite(flat16)))
+    cos = float(
+        jnp.vdot(flat32, flat16)
+        / (jnp.linalg.norm(flat32) * jnp.linalg.norm(flat16) + 1e-30)
+    )
+    assert cos > 0.95, f"bf16 gradient direction drifted: cos={cos}"
