@@ -8,8 +8,11 @@
 
 #include <algorithm>
 #include <array>
+#include <chrono>
 #include <cmath>
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <unordered_map>
 #include <vector>
@@ -95,6 +98,9 @@ struct Simplifier {
   // naming collapsed vertices are translated to their survivors on pop
   // instead of eagerly re-pushing every incident edge per collapse.
   std::vector<int64_t> parent;
+  // Profile counters (filled when LSTPU_SIMPLIFY_PROFILE=1 reads them).
+  double prepass_ms = 0, seed_ms = 0;
+  int64_t prepass_costs = 0, prepass_collapses = 0, heap_pops = 0;
   // Absolute deferral penalty for normal-flip-vetoed candidates. A
   // multiplicative penalty alone spins forever on the zero-cost sliver
   // edges marching-tetrahedra meshes are full of (0 * k stays at the
@@ -236,6 +242,10 @@ struct Simplifier {
   // spent ~1.5 s (711k pops / 347k re-costs of a 12 MB heap); the
   // sweep does the same collapses with linear scans.
   void ThresholdPrePass(int64_t stop_faces) {
+    static const int guard_mode = [] {
+      const char* e = std::getenv("LSTPU_SIMPLIFY_GUARD");
+      return e ? std::atoi(e) : 1;
+    }();
     std::vector<char> dirty(pos.size(), 0);
     std::vector<double> costs;
     for (int round = 0; round < 12 && alive_count > stop_faces; ++round) {
@@ -245,15 +255,28 @@ struct Simplifier {
         const auto& fc = faces[f];
         for (int k = 0; k < 3; ++k) {
           int64_t a = fc[k], b = fc[(k + 1) % 3];
-          if (a < b) costs.push_back(EdgeCost(a, b));
+          if (a < b) {
+            costs.push_back(EdgeCost(a, b));
+            ++prepass_costs;
+          }
         }
       }
       if (costs.empty()) break;
       // Each collapse removes ~2 faces; aim the threshold at the cost
       // quantile covering the remaining need (capped: dirty/flip
-      // guards block some candidates anyway).
+      // guards block some candidates anyway). The measured per-round
+      // yield of the need-quantile is only ~30% (dirty-blocked and
+      // quadric-grown edges), forcing many full re-cost rounds; the
+      // overshoot factor compensates (the alive_count > stop_faces
+      // check bounds actual collapsing either way).
+      static const double overshoot = [] {
+        const char* e = std::getenv("LSTPU_SIMPLIFY_OVERSHOOT");
+        return e ? std::atof(e) : 1.0;
+      }();
       int64_t need = (alive_count - stop_faces) / 2 + 1;
-      size_t idx = std::min<size_t>(need, costs.size() - 1);
+      size_t idx = std::min<size_t>(
+          static_cast<int64_t>(overshoot * (double)need),
+          costs.size() - 1);
       std::nth_element(costs.begin(), costs.begin() + idx, costs.end());
       const double thr = costs[idx];
       std::fill(dirty.begin(), dirty.end(), 0);
@@ -263,13 +286,15 @@ struct Simplifier {
         if (!face_alive[f]) continue;
         for (int k = 0; k < 3; ++k) {
           int64_t a = faces[f][k], b = faces[f][(k + 1) % 3];
-          if (dirty[a] || dirty[b]) continue;
+          if (guard_mode && (dirty[a] || dirty[b])) continue;
           Vec3 p;
+          ++prepass_costs;
           if (EdgeCost(a, b, &p) > thr) continue;
           if (FlipsNormal(a, b, p)) continue;
           CollapseEdge(a, b, p);
           dirty[a] = 1;
           ++collapsed;
+          ++prepass_collapses;
           if (!face_alive[f]) break;
         }
       }
@@ -339,11 +364,18 @@ struct Simplifier {
     // slower), larger values collapse nearly everything in bulk.
     const double agg = std::max(aggressiveness, 1e-3);
     const double mult = 1.0 + 15.0 / agg;
+    auto tp0 = std::chrono::steady_clock::now();
     ThresholdPrePass(std::max<int64_t>(
         static_cast<int64_t>(mult * (double)target_faces), 1024));
+    auto tp1 = std::chrono::steady_clock::now();
     SeedHeap();
+    auto tp2 = std::chrono::steady_clock::now();
+    prepass_ms =
+        std::chrono::duration<double, std::milli>(tp1 - tp0).count();
+    seed_ms = std::chrono::duration<double, std::milli>(tp2 - tp1).count();
     int64_t budget = 100 * (int64_t)faces.size() + (1 << 20);
     while (alive_count > target_faces && !heap.empty() && budget-- > 0) {
+      ++heap_pops;
       std::pop_heap(heap.begin(), heap.end());
       Candidate c = heap.back();
       heap.pop_back();
@@ -421,10 +453,35 @@ SimplifyResult* simplify_mesh(const float* verts, int64_t nv,
     res->tris.assign(tris, tris + 3 * nf);
     return res;
   }
+  // LSTPU_SIMPLIFY_PROFILE=1: phase times to stderr (perf observability;
+  // scripts/profile_simplify.py aggregates them).
+  static const bool profile = [] {
+    const char* e = std::getenv("LSTPU_SIMPLIFY_PROFILE");
+    return e && e[0] == '1';
+  }();
+  using Clock = std::chrono::steady_clock;
+  auto ms = [](Clock::time_point a, Clock::time_point b) {
+    return std::chrono::duration<double, std::milli>(b - a).count();
+  };
+  auto t0 = Clock::now();
   Simplifier s;
   s.Init(verts, nv, tris, nf);
+  auto t1 = Clock::now();
   s.Run(target_faces, aggressiveness);
+  auto t2 = Clock::now();
   s.Output(res->verts, res->tris);
+  auto t3 = Clock::now();
+  if (profile) {
+    std::fprintf(
+        stderr,
+        "[simplify] nf=%lld target=%lld init=%.1fms run=%.1fms "
+        "(prepass=%.1fms seed=%.1fms heap=%.1fms, prepass_costs=%lld "
+        "prepass_collapses=%lld heap_pops=%lld) output=%.1fms\n",
+        (long long)nf, (long long)target_faces, ms(t0, t1), ms(t1, t2),
+        s.prepass_ms, s.seed_ms, ms(t1, t2) - s.prepass_ms - s.seed_ms,
+        (long long)s.prepass_costs, (long long)s.prepass_collapses,
+        (long long)s.heap_pops, ms(t2, t3));
+  }
   return res;
 }
 
