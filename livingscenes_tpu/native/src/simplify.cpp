@@ -241,39 +241,52 @@ struct Simplifier {
   // order matters. Profile at 250k->5k faces: the heap phase alone
   // spent ~1.5 s (711k pops / 347k re-costs of a 12 MB heap); the
   // sweep does the same collapses with linear scans.
+  struct PreEdge {
+    double cost;
+    int64_t a, b;
+    Vec3 p;  // optimal collapse position at cost time
+  };
+
   void ThresholdPrePass(int64_t stop_faces) {
-    static const int guard_mode = [] {
-      const char* e = std::getenv("LSTPU_SIMPLIFY_GUARD");
-      return e ? std::atoi(e) : 1;
-    }();
     std::vector<char> dirty(pos.size(), 0);
+    std::vector<PreEdge> edges;
     std::vector<double> costs;
     for (int round = 0; round < 12 && alive_count > stop_faces; ++round) {
-      costs.clear();
+      // One cost pass per round. The sweep below reuses these cached
+      // (cost, position) pairs: the dirty guard already skips any edge
+      // whose endpoint moved this round, and for clean endpoints the
+      // cached cost IS the current cost — so the old second
+      // EdgeCost-per-edge sweep (half the prepass time) is pure waste.
+      edges.clear();
       for (int64_t f = 0; f < (int64_t)faces.size(); ++f) {
         if (!face_alive[f]) continue;
         const auto& fc = faces[f];
         for (int k = 0; k < 3; ++k) {
           int64_t a = fc[k], b = fc[(k + 1) % 3];
           if (a < b) {
-            costs.push_back(EdgeCost(a, b));
+            PreEdge e{0, a, b, {}};
+            e.cost = EdgeCost(a, b, &e.p);
+            edges.push_back(e);
             ++prepass_costs;
           }
         }
       }
-      if (costs.empty()) break;
+      if (edges.empty()) break;
       // Each collapse removes ~2 faces; aim the threshold at the cost
-      // quantile covering the remaining need (capped: dirty/flip
-      // guards block some candidates anyway). The measured per-round
-      // yield of the need-quantile is only ~30% (dirty-blocked and
-      // quadric-grown edges), forcing many full re-cost rounds; the
-      // overshoot factor compensates (the alive_count > stop_faces
-      // check bounds actual collapsing either way).
+      // quantile covering the remaining need, times an overshoot: the
+      // measured per-round yield of the bare need-quantile is only
+      // ~30% (dirty-blocked and flip-vetoed edges), forcing many full
+      // re-cost rounds. The alive_count > stop_faces check bounds
+      // actual collapsing either way, and the heap phase fixes any
+      // order roughness on the last 4x (measured equal-chamfer at
+      // overshoot 5, docs/ROUND5_NOTES.md §5).
       static const double overshoot = [] {
         const char* e = std::getenv("LSTPU_SIMPLIFY_OVERSHOOT");
-        return e ? std::atof(e) : 1.0;
+        return e ? std::atof(e) : 5.0;
       }();
       int64_t need = (alive_count - stop_faces) / 2 + 1;
+      costs.resize(edges.size());
+      for (size_t i = 0; i < edges.size(); ++i) costs[i] = edges[i].cost;
       size_t idx = std::min<size_t>(
           static_cast<int64_t>(overshoot * (double)need),
           costs.size() - 1);
@@ -281,22 +294,19 @@ struct Simplifier {
       const double thr = costs[idx];
       std::fill(dirty.begin(), dirty.end(), 0);
       int64_t collapsed = 0;
-      for (int64_t f = 0;
-           f < (int64_t)faces.size() && alive_count > stop_faces; ++f) {
-        if (!face_alive[f]) continue;
-        for (int k = 0; k < 3; ++k) {
-          int64_t a = faces[f][k], b = faces[f][(k + 1) % 3];
-          if (guard_mode && (dirty[a] || dirty[b])) continue;
-          Vec3 p;
-          ++prepass_costs;
-          if (EdgeCost(a, b, &p) > thr) continue;
-          if (FlipsNormal(a, b, p)) continue;
-          CollapseEdge(a, b, p);
-          dirty[a] = 1;
-          ++collapsed;
-          ++prepass_collapses;
-          if (!face_alive[f]) break;
-        }
+      for (const PreEdge& e : edges) {
+        if (alive_count <= stop_faces) break;
+        if (e.cost > thr) continue;
+        if (dirty[e.a] || dirty[e.b]) continue;
+        // Endpoints untouched this round -> cached cost/position exact.
+        if (FlipsNormal(e.a, e.b, e.p)) continue;
+        CollapseEdge(e.a, e.b, e.p);
+        // Mark BOTH endpoints: e.b is dead now, and later cached edges
+        // still name it — without dirty[e.b] they would "revive" it.
+        dirty[e.a] = 1;
+        dirty[e.b] = 1;
+        ++collapsed;
+        ++prepass_collapses;
       }
       if (collapsed < need / 20) break;  // stalled: let the heap finish
     }

@@ -26,8 +26,14 @@ from scipy.spatial.transform import Rotation
 
 
 def build_benchmark(root: str, n_scenes: int = 4, n_obj: int = 4,
-                    n_pts: int = 512, seed: int = 7):
-    """Procedural FlyingShape tree + analytic GT meshes."""
+                    n_pts: int = 512, seed: int = 7, rot_seed=None):
+    """Procedural FlyingShape tree + analytic GT meshes.
+
+    ``seed`` drives shape geometry / translations; ``rot_seed`` (None =
+    the historical 100+s stream) drives the scan_001 rotations. Pass a
+    fresh (seed, rot_seed) pair for held-out instances that share zero
+    randomness with the standard seed-7 capstone benchmark.
+    """
     from livingscenes_tpu.recon.extractor import marching_isosurface
     from livingscenes_tpu.recon.mesh import Mesh
     from livingscenes_tpu.train.data import SyntheticShapeDataset
@@ -62,7 +68,8 @@ def build_benchmark(root: str, n_scenes: int = 4, n_obj: int = 4,
             )
 
         pcs = np.stack(pcs).astype(np.float32)
-        Rm = Rotation.random(n_obj, random_state=100 + s).as_matrix()
+        rot_state = (100 + s) if rot_seed is None else (rot_seed + s)
+        Rm = Rotation.random(n_obj, random_state=rot_state).as_matrix()
         tm = rng.normal(size=(n_obj, 3)) * 0.4
         moved = np.einsum("bij,bnj->bni", Rm, pcs) + tm[:, None]
         t0 = np.tile(np.eye(4), (n_obj, 1, 1)).astype(np.float32)

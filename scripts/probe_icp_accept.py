@@ -59,6 +59,12 @@ def main():
     ap.add_argument("--root", default="/tmp/lstpu_probe_icp")
     ap.add_argument("--n-scenes", type=int, default=12)
     ap.add_argument("--n-pts", type=int, default=512)
+    ap.add_argument("--seed", type=int, default=7,
+                    help="benchmark shape/translation seed (7 = the "
+                    "standard capstone set; use a fresh value for a "
+                    "held-out validation of the acceptance rule)")
+    ap.add_argument("--rot-seed", type=int, default=None,
+                    help="rotation stream base (None = historical 100+s)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -69,7 +75,8 @@ def main():
     from livingscenes_tpu.solver import MoreSolver, MoreSolverConfig
     from livingscenes_tpu.solver.registration import RegistrationConfig
 
-    build_benchmark(args.root, n_scenes=args.n_scenes, n_pts=args.n_pts)
+    build_benchmark(args.root, n_scenes=args.n_scenes, n_pts=args.n_pts,
+                    seed=args.seed, rot_seed=args.rot_seed)
     dataset = FlyingShapeDataset(args.root)
     base = load_solver(args.ckpt)
 

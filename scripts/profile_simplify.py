@@ -37,11 +37,26 @@ def make_grid(seed: int, n: int = 129, box: float = 1.1):
     return (-sdf(pts)).astype(np.float32).reshape(n, n, n)
 
 
+def chamfer_to_raw(mesh, raw_mesh, n: int = 30000, seed: int = 0):
+    """Symmetric chamfer (mean NN distance both ways) between surface
+    samples of the simplified mesh and the raw (unsimplified) mesh —
+    the quality gate for simplifier changes ("equal chamfer")."""
+    from scipy.spatial import cKDTree
+
+    a = mesh.sample_surface(n, seed=seed)
+    b = raw_mesh.sample_surface(n, seed=seed + 1)
+    da = cKDTree(b).query(a)[0].mean()
+    db = cKDTree(a).query(b)[0].mean()
+    return float(da + db) / 2
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=8)
     ap.add_argument("--target", type=int, default=5000)
     ap.add_argument("--agg", type=float, default=None)
+    ap.add_argument("--chamfer", action="store_true",
+                    help="also report chamfer(simplified, raw) per grid")
     args = ap.parse_args()
 
     from livingscenes_tpu.recon.extractor import (
@@ -51,6 +66,7 @@ def main():
 
     kw = {} if args.agg is None else {"simplify_aggressiveness": args.agg}
     cfg = MeshExtractorConfig(simplify_nfaces=args.target, **kw)
+    raw_cfg = MeshExtractorConfig(simplify_nfaces=None)  # no simplify
     stats_all = []
     for i in range(args.n):
         grid = make_grid(100 + i)
@@ -59,19 +75,27 @@ def main():
         mesh = extract_mesh_from_grid(grid, cfg, stats=st)
         st["total_ms"] = (time.perf_counter() - t0) * 1e3
         st["empty"] = mesh.is_empty
-        stats_all.append(st)
-        print(
+        line = (
             f"grid {i}: total {st['total_ms']:.1f} ms "
             f"(iso {st.get('iso_ms', 0):.1f}, "
             f"simplify {st.get('simplify_ms', 0):.1f}) "
             f"faces_raw {st.get('faces_raw', 0)} -> {st.get('faces', 0)}"
         )
+        if args.chamfer:
+            raw = extract_mesh_from_grid(grid, raw_cfg)
+            st["chamfer"] = chamfer_to_raw(mesh, raw)
+            line += f" chamfer {st['chamfer']:.5f}"
+        stats_all.append(st)
+        print(line)
     mean = lambda k: float(np.mean([s.get(k, 0.0) for s in stats_all]))
-    print(
+    out = (
         f"\nmean: total {mean('total_ms'):.1f} ms, iso {mean('iso_ms'):.1f},"
         f" simplify {mean('simplify_ms'):.1f}, faces_raw"
         f" {mean('faces_raw'):.0f}"
     )
+    if args.chamfer:
+        out += f", chamfer {mean('chamfer'):.5f}"
+    print(out)
 
 
 if __name__ == "__main__":
