@@ -30,7 +30,7 @@ Array = jax.Array
 _BIG = 1e30
 
 
-def _fps_kernel(pts_ref, mask_ref, idx_ref, *, k: int):
+def _fps_kernel(pts_ref, mask_ref, idx_ref, *, k: int, unroll: int = 4):
     pts = pts_ref[:]  # (TB, 3, N)
     valid = mask_ref[:]  # (TB, N) int32
     TB = pts.shape[0]
@@ -38,38 +38,64 @@ def _fps_kernel(pts_ref, mask_ref, idx_ref, *, k: int):
 
     col = jax.lax.broadcasted_iota(jnp.int32, (TB, N), 1)
     col_k = jax.lax.broadcasted_iota(jnp.int32, (TB, k), 1)
-    invalid_penalty = jnp.where(valid > 0, 0.0, -2.0 * _BIG)
 
-    def body(i, carry):
+    def step(pos, carry):
+        """One selection round; pos is the idx_acc column being written."""
         mind, cur, idx_acc = carry
         onehot = (col == cur[:, None]).astype(jnp.float32)  # (TB, N)
+        # One-hot multiply-reduce gather (measured faster than a fused
+        # where-select over (TB, 3, N), which materializes a broadcast
+        # mask). The distance stays in the (p - last)^2 form on purpose:
+        # the dot-product form |p|^2 - 2 p.last + |last|^2 rounds
+        # differently, which breaks exact index equality with ops/fps.py
+        # at near-ties and makes the selected point's own distance
+        # +/-eps instead of exactly 0 (wrong tail behavior when fewer
+        # than k valid points exist).
         last = jnp.sum(pts * onehot[:, None, :], axis=2)  # (TB, 3)
         d = jnp.sum((pts - last[:, :, None]) ** 2, axis=1)  # (TB, N)
+        # Invalid points are baked into mind0 at -2*_BIG; d >= 0, so the
+        # running minimum keeps them below every valid score forever and
+        # no per-round penalty add is needed.
         mind = jnp.minimum(mind, d)
-        score = mind + invalid_penalty
         # argmax via max + first-match iota-min (Mosaic's argmax lowering
         # miscompiles at some lane counts, e.g. N = 128).
-        m = jnp.max(score, axis=-1, keepdims=True)
+        m = jnp.max(mind, axis=-1, keepdims=True)
         nxt = jnp.min(
-            jnp.where(score >= m, col, jnp.int32(N)), axis=-1
+            jnp.where(mind >= m, col, jnp.int32(N)), axis=-1
         ).astype(jnp.int32)
-        idx_acc = jnp.where(col_k == i + 1, nxt[:, None], idx_acc)
+        idx_acc = jnp.where(col_k == pos, nxt[:, None], idx_acc)
         return mind, nxt, idx_acc
 
-    mind0 = jnp.full((TB, N), _BIG, jnp.float32)
+    # Manual unroll: Mosaic's per-iteration loop machinery costs far more
+    # than the round's VPU work (~9 us vs ~100 cycles measured at
+    # 64x4096), and its scan lowering only supports unroll=1|full. The
+    # body therefore runs `unroll` selection rounds per trip; rounds past
+    # k-1 in the final trip are harmless (their idx_acc write targets a
+    # column >= k, which doesn't exist, and extra mind updates only
+    # re-select already-known-far points into dead columns).
+    def body(i, carry):
+        for j in range(unroll):
+            carry = step(i * unroll + j + 1, carry)
+        return carry
+
+    mind0 = jnp.where(valid > 0, _BIG, -2.0 * _BIG).astype(jnp.float32)
     cur0 = jnp.zeros((TB,), jnp.int32)
     idx0 = jnp.zeros((TB, k), jnp.int32)
-    _, _, idx_acc = jax.lax.fori_loop(0, k - 1, body, (mind0, cur0, idx0))
+    trips = -(-(k - 1) // unroll)
+    _, _, idx_acc = jax.lax.fori_loop(0, trips, body, (mind0, cur0, idx0))
     idx_ref[:] = idx_acc
 
 
-@functools.partial(jax.jit, static_argnames=("k", "batch_tile", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("k", "batch_tile", "interpret", "unroll")
+)
 def fps_pallas(
     points: Array,
     k: int,
     mask: Array | None = None,
     batch_tile: int = 8,
     interpret: bool = False,
+    unroll: int = 4,
 ):
     """Farthest-point sampling via the Pallas kernel.
 
@@ -85,7 +111,7 @@ def fps_pallas(
     pts_t = jnp.swapaxes(points.astype(jnp.float32), 1, 2)  # (B, 3, N)
 
     idx = pl.pallas_call(
-        functools.partial(_fps_kernel, k=k),
+        functools.partial(_fps_kernel, k=k, unroll=unroll),
         grid=(B // batch_tile,),
         in_specs=[
             pl.BlockSpec(

@@ -134,11 +134,17 @@ def build_scene_pair_pipeline(
         flat_res = rescan_pc.reshape(S * O, N, 3)
         if cfg.encode_fps:
             k = model.config.n_pcl
+            # batch_tile=16: measured fastest at this call's operating
+            # point (64 x 4096 -> 1024: 12.39 ms vs 13.09 at tile 32,
+            # unroll 4 either way; docs/ROUND5_NOTES.md section 2). The
+            # encoder-internal FPS keeps fps_auto's tile-32 default.
             flat_ref, _ = fps_auto(
-                flat_ref, k, mask=ref_mask.reshape(S * O, N)
+                flat_ref, k, mask=ref_mask.reshape(S * O, N),
+                batch_tile=16,
             )
             flat_res, _ = fps_auto(
-                flat_res, k, mask=rescan_mask.reshape(S * O, N)
+                flat_res, k, mask=rescan_mask.reshape(S * O, N),
+                batch_tile=16,
             )
         # two encoder calls (measured marginally faster than one 2x-batch
         # call at the operating point — smaller kNN working sets)

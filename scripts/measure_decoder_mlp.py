@@ -57,33 +57,38 @@ def main():
     reps = 4
     for chunk in (4096, 16384):
         rows = B * chunk
-        x = jax.random.normal(
-            jax.random.PRNGKey(1), (B, chunk, 513), jnp.float32
-        )
         for dtype in ("f32", "bf16"):
             if dtype == "bf16":
-                cast = lambda t: jax.tree.map(
+                p = jax.tree.map(
                     lambda a: a.astype(jnp.bfloat16)
                     if a.dtype == jnp.float32
                     else a,
-                    t,
+                    dec_params,
                 )
-                p, xin = cast(dec_params), x.astype(jnp.bfloat16)
+                xdt = jnp.bfloat16
             else:
-                p, xin = dec_params, x
+                p, xdt = dec_params, jnp.float32
 
-            def body(c, _):
-                out = model.decoder.apply(
-                    {"params": p}, xin + c.astype(xin.dtype)
-                )
-                return c + jnp.float32(jnp.sum(out[:, :8])), None
+            # Inputs are generated ON DEVICE inside the jit: closing over a
+            # host array bakes a (B, chunk, 513) constant into the HLO and
+            # the tunneled remote_compile rejects the upload (HTTP 413).
+            def fn_impl(params):
+                x = jax.random.normal(
+                    jax.random.PRNGKey(1), (B, chunk, 513), jnp.float32
+                ).astype(xdt)
 
-            fn = jax.jit(
-                lambda: jax.lax.scan(body, jnp.float32(0), None, reps)[0]
-            )
-            float(fn())  # compile + first
+                def body(c, _):
+                    out = model.decoder.apply(
+                        {"params": params}, x + c.astype(x.dtype)
+                    )
+                    return c + jnp.float32(jnp.sum(out[:, :8])), None
+
+                return jax.lax.scan(body, jnp.float32(0), None, reps)[0]
+
+            fn = jax.jit(fn_impl)
+            float(fn(p))  # compile + first
             t0 = time.perf_counter()
-            float(fn())
+            float(fn(p))
             dt = (time.perf_counter() - t0) / reps
             tf = rows * flops_row / dt / 1e12
             print(

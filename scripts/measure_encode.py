@@ -44,6 +44,8 @@ def main():
     )
     ap.add_argument("--tile", type=int, default=0, help="FPS batch tile")
     ap.add_argument("--k", type=int, default=512, help="FPS sample count")
+    ap.add_argument("--unroll", type=int, default=8,
+                    help="FPS selection-loop unroll factor")
     args = ap.parse_args()
 
     if args.fps:
@@ -56,7 +58,9 @@ def main():
         tile = args.tile or 32
 
         def body(c, _):
-            _, idx = fps_pallas(pc + c * 1e-9, args.k, batch_tile=tile)
+            _, idx = fps_pallas(
+                pc + c * 1e-9, args.k, batch_tile=tile, unroll=args.unroll
+            )
             return c + jnp.float32(jnp.sum(idx)), None
 
         fn = jax.jit(
@@ -69,7 +73,8 @@ def main():
         float(fn())
         dt = time.perf_counter() - t0
         print(
-            f"fps tile={tile} {args.batch}x{args.npts}->{args.k}: "
+            f"fps tile={tile} unroll={args.unroll} "
+            f"{args.batch}x{args.npts}->{args.k}: "
             f"{dt / args.reps * 1e3:.2f} ms/call"
         )
         return
