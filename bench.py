@@ -95,22 +95,28 @@ def build(mesh, optim: bool, pallas: bool = True, recon: bool = False,
 
 
 def load_trained_params():
-    """The committed trained checkpoint (the 100k-run r4 selection when
-    present, else the 30k r3 one; load-tested in tests/test_model_surface.py)
-    — the recon leg must mesh REAL fields, not random-weight noise
-    (VERDICT r3 weak #1)."""
+    """The committed trained checkpoint — the round-5 production-operating-
+    point run (n_pcl 1024, batch 64) when present, else the 100k r4 / 30k r3
+    selections; load-tested in tests/test_model_surface.py. The recon leg
+    must mesh REAL fields, not random-weight noise (VERDICT r3 weak #1).
+    Returns (params, basename, n_pcl) where n_pcl is the checkpoint's
+    TRAINING operating point so the recon leg runs the model as trained."""
     from flax import serialization
 
-    path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        "weights",
-        "plateau_r4_selected.ckpt",
+    wdir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "weights"
     )
-    if not os.path.exists(path):
-        path = path.replace("plateau_r4", "plateau_r3")
+    for name, n_pcl in (
+        ("production_r5_selected.ckpt", 1024),
+        ("plateau_r4_selected.ckpt", 512),
+        ("plateau_r3_selected.ckpt", 512),
+    ):
+        path = os.path.join(wdir, name)
+        if os.path.exists(path):
+            break
     with open(path, "rb") as f:
         payload = serialization.msgpack_restore(f.read())
-    return payload["params"], os.path.basename(path)
+    return payload["params"], os.path.basename(path), n_pcl
 
 
 def make_scenes(rng, n_scenes, n_pts=N_PTS):
@@ -387,13 +393,12 @@ def main():
             from livingscenes_tpu.recon.extractor import MeshExtractorConfig
             from livingscenes_tpu.solver.pipeline import extract_scene_meshes
 
-            params_t, recon_ckpt = load_trained_params()
-            # The committed checkpoint trains at n_pcl=512
-            # (configs/plateau_round3b.yaml) — the leg runs it at its
-            # training operating point.
+            params_t, recon_ckpt, ckpt_npcl = load_trained_params()
+            # The leg runs the checkpoint at its TRAINING operating point
+            # (1024 for the r5 production run, 512 for the r3/r4 runs).
             pipe_r, _, model_r, cfg_r = build(
                 mesh, optim=False, recon=True, encode_fps=True,
-                pallas=pallas_ok, n_pcl=512, params=params_t,
+                pallas=pallas_ok, n_pcl=ckpt_npcl, params=params_t,
             )
             n_r = 2 * n_dev
             ref_r, rescan_r = make_shape_scenes(rng, n_r, n_pts=N_FULL)
@@ -418,14 +423,14 @@ def main():
             try:
                 pipe_rx, _, model_rx, _ = build(
                     mesh, optim=False, recon=True, encode_fps=True,
-                    pallas=False, n_pcl=512, params=params_t,
+                    pallas=False, n_pcl=ckpt_npcl, params=params_t,
                 )
                 f_prog = flops_of(pipe_rx, params_t, *args_r)
                 B_inst = n_r * N_OBJ
                 codes_d = model_rx.encode(
                     params_t,
-                    jnp.zeros((B_inst, 512, 3), jnp.float32)
-                    + jnp.linspace(-0.4, 0.4, 512)[None, :, None],
+                    jnp.zeros((B_inst, ckpt_npcl, 3), jnp.float32)
+                    + jnp.linspace(-0.4, 0.4, ckpt_npcl)[None, :, None],
                 )
                 chunk = cfg_r.recon_chunk
                 q_d = jnp.zeros((B_inst, chunk, 3), jnp.float32)

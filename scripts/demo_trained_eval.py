@@ -103,6 +103,15 @@ def main():
                         help="also run the 400-step refined relocalization")
     parser.add_argument("--n-scenes", type=int, default=4,
                         help="benchmark size (n_scenes x 4 objects)")
+    parser.add_argument("--seed", type=int, default=7,
+                        help="shape/translation seed (7 = standard capstone)")
+    parser.add_argument("--rot-seed", type=int, default=None,
+                        help="rotation stream base (None = historical 100+s)")
+    parser.add_argument("--icp-accept", default=None,
+                        choices=["symch", "always", "sdf"],
+                        help="ICP acceptance policy (None = production "
+                        "default 'symch'; 'always' = reference-faithful "
+                        "unconditional polish, more_solver.py:181-188)")
     args = parser.parse_args()
 
     from livingscenes_tpu.eval.flyingshape import (
@@ -115,15 +124,23 @@ def main():
     from livingscenes_tpu.solver import MoreSolver, MoreSolverConfig
     from livingscenes_tpu.recon.extractor import MeshExtractorConfig
 
+    from livingscenes_tpu.solver.registration import RegistrationConfig
+
     gt_meshes = build_benchmark(
-        args.root, n_scenes=args.n_scenes, n_pts=args.n_pts
+        args.root, n_scenes=args.n_scenes, n_pts=args.n_pts,
+        seed=args.seed, rot_seed=args.rot_seed,
     )
     base = load_solver(args.ckpt)
+    reg_cfg = (
+        RegistrationConfig(icp_accept=args.icp_accept)
+        if args.icp_accept else RegistrationConfig()
+    )
     solver = MoreSolver(
         base.model,
         base.params,
         MoreSolverConfig(
             n_input_point=args.n_pts,
+            registration=reg_cfg,
             mesh_extractor=MeshExtractorConfig(
                 resolution0=32, upsampling_steps=args.recon_upsample,
                 simplify_nfaces=5000,

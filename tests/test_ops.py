@@ -160,3 +160,43 @@ def test_pallas_fps_batch_tile_invariant(rng):
     for tile in (8, 16):
         _, i_pl = fps_pallas(pts, 32, batch_tile=tile, interpret=True)
         np.testing.assert_array_equal(np.asarray(i_pl), np.asarray(i_ref))
+
+def test_pallas_fps_unroll_invariant_ties_and_tail(rng):
+    """The manual unroll factor is a pure scheduling knob: results must
+    be bit-equal to the XLA FPS for every unroll, including when (k-1)
+    is not a multiple of the unroll (surplus rounds in the last trip
+    write idx columns >= k), on tie-heavy integer-grid data with
+    duplicated points (exact distance ties), and when fewer valid points
+    than k exist (the tail must repeat already-selected points exactly
+    like ops/fps.py)."""
+    from livingscenes_tpu.ops.pallas_fps import fps_pallas
+
+    pts = jnp.asarray(rng.normal(size=(8, 256, 3)), jnp.float32)
+    mask = jnp.asarray(rng.random((8, 256)) > 0.2)
+    for k in (64, 65):
+        _, i_ref = farthest_point_sampling(pts, k, mask=mask)
+        for unroll in (1, 4, 8):
+            _, i_pl = fps_pallas(
+                pts, k, mask, batch_tile=4, interpret=True, unroll=unroll
+            )
+            np.testing.assert_array_equal(
+                np.asarray(i_pl), np.asarray(i_ref)
+            )
+
+    # exact ties: integer lattice + duplicated points
+    g = np.stack(
+        np.meshgrid(np.arange(4), np.arange(4), np.arange(4),
+                    indexing="ij"),
+        -1,
+    ).reshape(-1, 3).astype(np.float32)
+    g = np.concatenate([g, g[:32]], 0)[None].repeat(8, 0)
+    gp = jnp.asarray(g)
+    _, i_ref = farthest_point_sampling(gp, 48)
+    _, i_pl = fps_pallas(gp, 48, batch_tile=8, interpret=True)
+    np.testing.assert_array_equal(np.asarray(i_pl), np.asarray(i_ref))
+
+    # tail: only 20 valid points, k = 64
+    m2 = jnp.asarray(np.arange(256)[None, :].repeat(8, 0) < 20)
+    _, i_ref = farthest_point_sampling(pts, 64, mask=m2)
+    _, i_pl = fps_pallas(pts, 64, m2, batch_tile=4, interpret=True)
+    np.testing.assert_array_equal(np.asarray(i_pl), np.asarray(i_ref))
