@@ -40,6 +40,11 @@ import jax
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/lstpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+if os.environ.get("LSTPU_CPU"):
+    # The env var JAX_PLATFORMS=cpu alone is overridden by the axon
+    # plugin (and a bare device query hangs forever when the tunnel is
+    # down) — the config call is the reliable pin (verify-skill note).
+    jax.config.update("jax_platforms", "cpu")
 
 import jax.numpy as jnp
 import numpy as np
