@@ -178,6 +178,11 @@ def main(argv=None):
         "--override", action="append", default=[], help="a.b.c=value"
     )
     parser.add_argument("--resume", default=None, help="latest | <step>")
+    parser.add_argument(
+        "--init-from", default=None, metavar="CKPT",
+        help="warm-start params from this checkpoint file (fresh "
+        "optimizer + schedule; use --resume for exact continuation)",
+    )
     parser.add_argument("--total-iter", type=int, default=None)
     args = parser.parse_args(argv)
 
@@ -201,6 +206,30 @@ def main(argv=None):
     if args.resume:
         state = trainer.load_checkpoint(state, args.resume)
         log.info("resumed from %s at step %d", args.resume, state.step)
+    elif args.init_from:
+        # Warm start: load PARAMS ONLY from an arbitrary checkpoint path
+        # (fresh optimizer state, step 0 so the LR schedule restarts).
+        # Progressive-operating-point training: e.g. continue a run
+        # trained at n_pcl=512 at the production n_pcl=1024 — the DGCNN
+        # encoder is point-count agnostic so the pytrees match.
+        from flax import serialization
+
+        with open(args.init_from, "rb") as f:
+            payload = serialization.from_bytes(
+                {"params": state.params, "opt_state": state.opt_state,
+                 "step": 0},
+                f.read(),
+            )
+        params = payload["params"]
+        if mesh is not None:
+            from ..parallel.sharding import replicate
+
+            params = replicate(params, mesh)
+        state = type(state)(params, state.opt_state, 0)
+        log.info(
+            "warm-started params from %s (ckpt step %d; opt state and "
+            "schedule reset)", args.init_from, int(payload["step"]),
+        )
 
     train_it = prefetch_iterator(
         batch_iterator(train_ds, trainer_cfg.batch_size, seed=trainer_cfg.seed)
