@@ -26,19 +26,21 @@ from scipy.spatial.transform import Rotation
 
 
 def build_benchmark(root: str, n_scenes: int = 4, n_obj: int = 4,
-                    n_pts: int = 512, seed: int = 7, rot_seed=None):
+                    n_pts: int = 512, seed: int = 7, rot_seed=None,
+                    shape_kinds=(0, 1, 2)):
     """Procedural FlyingShape tree + analytic GT meshes.
 
     ``seed`` drives shape geometry / translations; ``rot_seed`` (None =
     the historical 100+s stream) drives the scan_001 rotations. Pass a
     fresh (seed, rot_seed) pair for held-out instances that share zero
-    randomness with the standard seed-7 capstone benchmark.
+    randomness with the standard seed-7 capstone benchmark, and
+    ``shape_kinds=(3,)`` for the torus family (out-of-family held-out set).
     """
     from livingscenes_tpu.recon.extractor import marching_isosurface
     from livingscenes_tpu.recon.mesh import Mesh
     from livingscenes_tpu.train.data import SyntheticShapeDataset
 
-    ds = SyntheticShapeDataset(n_items=1, n_pcl=n_pts)
+    ds = SyntheticShapeDataset(n_items=1, n_pcl=n_pts, shape_kinds=shape_kinds)
     rng = np.random.default_rng(seed)
     gt_meshes = {}
 

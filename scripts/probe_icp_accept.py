@@ -70,8 +70,14 @@ def main():
                     "held-out validation of the acceptance rule)")
     ap.add_argument("--rot-seed", type=int, default=None,
                     help="rotation stream base (None = historical 100+s)")
+    ap.add_argument("--family", default="train",
+                    choices=["train", "torus"],
+                    help="shape family: 'train' = the box/ellipsoid/"
+                    "capsule kinds the checkpoint saw; 'torus' = genus-1 "
+                    "held-out family (never trained on)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
+    shape_kinds = (0, 1, 2) if args.family == "train" else (3,)
 
     from livingscenes_tpu import se3
     from livingscenes_tpu.eval.flyingshape import FlyingShapeDataset, _iter_scenes
@@ -81,7 +87,8 @@ def main():
     from livingscenes_tpu.solver.registration import RegistrationConfig
 
     build_benchmark(args.root, n_scenes=args.n_scenes, n_pts=args.n_pts,
-                    seed=args.seed, rot_seed=args.rot_seed)
+                    seed=args.seed, rot_seed=args.rot_seed,
+                    shape_kinds=shape_kinds)
     dataset = FlyingShapeDataset(args.root)
     base = load_solver(args.ckpt)
 

@@ -267,3 +267,31 @@ def test_decoder_bf16_loss_drift(tmp_path):
         / (jnp.linalg.norm(flat32) * jnp.linalg.norm(flat16) + 1e-30)
     )
     assert cos > 0.95, f"bf16 gradient direction drifted: cos={cos}"
+
+
+def test_shape_kinds_torus_and_default_stream():
+    """shape_kinds=(3,) (the held-out torus family for the ICP-acceptance
+    out-of-family probe) must yield true near-surface samples of a genus-1
+    SDF, and the default (0, 1, 2) must reproduce the historical RNG
+    stream bit-for-bit (every seeded benchmark depends on it)."""
+    from livingscenes_tpu.train.data import SyntheticShapeDataset, _sdf_torus
+
+    # default stream unchanged: explicit (0,1,2) == implicit default
+    a = SyntheticShapeDataset(n_items=2, n_pcl=64, seed=11)
+    b = SyntheticShapeDataset(n_items=2, n_pcl=64, seed=11,
+                              shape_kinds=(0, 1, 2))
+    for i in range(2):
+        for k in a[i]:
+            np.testing.assert_array_equal(a[i][k], b[i][k])
+
+    # torus family: surface points sit on the analytic zero level set
+    ds = SyntheticShapeDataset(n_items=1, n_pcl=128, seed=5,
+                               shape_kinds=(3,))
+    rng = np.random.default_rng(5)
+    sdf = ds._shape_sdf(rng)
+    pts = ds._surface_points(sdf, rng, 128)
+    assert np.abs(sdf(pts)).max() < 5e-3
+    # genus-1: the donut hole (axis region at y=0) is OUTSIDE the shape
+    assert sdf(np.zeros((1, 3)))[0] > 0.05
+    # direct check of the SDF helper: point on the centerline circle
+    assert abs(_sdf_torus(np.array([[0.3, 0.0, 0.0]]), 0.3, 0.1)[0] + 0.1) < 1e-12
