@@ -213,12 +213,16 @@ def test_pe_projector_converter_roundtrip():
         atol=0,
     )
 @pytest.mark.parametrize(
-    "name", ["plateau_r3_selected.ckpt", "plateau_r4_selected.ckpt"]
+    "name", ["plateau_r3_selected.ckpt", "plateau_r4_selected.ckpt",
+             "production_r5_selected.ckpt"]
 )
 def test_committed_plateau_checkpoint_loads_and_encodes(name):
     """The in-repo trained checkpoints (weights/plateau_r3_selected.ckpt,
     the 30k-run selected params; weights/plateau_r4_selected.ckpt, the
-    100k-run selected params at step 72k, val IoU 0.914) must keep loading
+    100k-run selected params at step 72k, val IoU 0.914;
+    weights/production_r5_selected.ckpt, the production-operating-point
+    40k run at n_pcl 1024 / batch 64, selected step 39k, val IoU 0.893)
+    must keep loading
     through the public solver entry point and produce finite, sane codes —
     guards the artifacts against checkpoint-format or param-tree drift."""
     import os
