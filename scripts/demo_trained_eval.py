@@ -44,6 +44,19 @@ def build_benchmark(root: str, n_scenes: int = 4, n_obj: int = 4,
     rng = np.random.default_rng(seed)
     gt_meshes = {}
 
+    # Prune stale scene dirs from a previous, larger build in the same
+    # root: FlyingShapeDataset globs every scene_* dir, so leftovers from
+    # an earlier n_scenes=N build would silently dilute an n_scenes<N
+    # evaluation with instances whose GT meshes this call never returns
+    # (each scores 0.0 — exactly how the first r5 48-inst comparison run
+    # produced viou 36.5 = 73/2).
+    import glob as _glob
+    import shutil as _shutil
+
+    for stale in _glob.glob(os.path.join(root, f"shape_{n_obj}", "scene_*")):
+        if int(os.path.basename(stale).split("_")[1]) >= n_scenes:
+            _shutil.rmtree(stale)
+
     for s in range(n_scenes):
         scene_dir = os.path.join(root, f"shape_{n_obj}", f"scene_{s:03d}")
         os.makedirs(scene_dir, exist_ok=True)
